@@ -1,0 +1,140 @@
+"""Frozen per-stage configuration dataclasses.
+
+The reference keeps every tunable as a global or literal scattered through the
+seven programs (SURVEY.md §5 "Config / flag system"); defaults here reproduce
+those values:
+
+- detector tunables: ref 特征点检测.cpp:39-55 (nfeatures=510, scaleFactor=1.3,
+  nlevels=5, edgeThreshold=31, wta_k=2, patchSize=31, fastThreshold=20,
+  grid 3x1)
+- matcher: ref 特征点匹配.cpp:307 (match_conf=0.3, i.e. ratio d0 < (1-0.3)·d1)
+- RANSAC: ref 计算单应性矩阵.cpp:695-698 (maxIters=2000 → fixed hypothesis
+  batch here, confidence=0.995, reprojection threshold 3 px)
+- feather sharpness: ref 特征点检测.cpp:1156 (5.0) / 恢复相机内参数.cpp:439 (0.1)
+- seam-mask dilation kernel 20x20: ref 特征点检测.cpp:1164
+
+All configs are frozen (hashable) so they can be passed as static arguments to
+`jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """ORB detector configuration (ref 特征点检测.cpp:39-55)."""
+
+    nfeatures: int = 512          # max keypoints kept per grid cell (ref: 510)
+    scale_factor: float = 1.3
+    nlevels: int = 5
+    edge_threshold: int = 31
+    first_level: int = 0
+    wta_k: int = 2                # 2 -> 1-bit BRIEF comparisons (ref default)
+    patch_size: int = 31
+    fast_threshold: int = 20
+    harris_block_size: int = 7
+    grid_rows: int = 1            # ref grid_size = 3 cols x 1 row
+    grid_cols: int = 3
+    # capacity knobs (TPU static-shape design; not in the reference)
+    max_keypoints: int = 1536     # total padded keypoint capacity per image
+    per_level_overretain: float = 2.0  # FAST over-retention before Harris cull
+
+    def __post_init__(self):
+        assert self.wta_k == 2, "only wta_k=2 (binary BRIEF) is implemented"
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """BestOf2Nearest matcher configuration (ref 特征点匹配.cpp:107-229)."""
+
+    match_conf: float = 0.3       # ratio test: d0 < (1-match_conf)*d1
+    num_matches_thresh1: int = 6  # min inliers to compute confidence
+    num_matches_thresh2: int = 6  # min inliers to refit H on inliers
+    max_matches: int = 512        # padded per-pair match capacity
+    conf_thresh: float = 1.0      # pair kept if confidence > this (driver)
+
+
+@dataclass(frozen=True)
+class RansacConfig:
+    """RANSAC homography configuration (ref 计算单应性矩阵.cpp:602-698).
+
+    The reference runs an adaptive sequential loop of up to 2000 iterations;
+    the TPU-native engine scores a fixed batch of hypotheses in parallel
+    (one XLA dispatch) which strictly dominates the adaptive loop when
+    num_hypotheses >= the adaptive count.
+    """
+
+    num_hypotheses: int = 2048
+    reproj_threshold: float = 3.0
+    confidence: float = 0.995
+    lm_iters: int = 10            # ref LMSolverImpl1 maxIters=10 (:695)
+    seed: int = 0x34985739        # deterministic per-pair folding, ref :71-75
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Intrinsics recovery + bundle adjustment (ref 恢复相机内参数.cpp,
+    stock BundleAdjusterRay at 特征点检测.cpp:1064-1067)."""
+
+    ba_refine: bool = True
+    ba_iters: int = 25
+    ba_conf_thresh: float = 1.0   # ref conf_thresh = 1
+    wave_correct: bool = False    # present but commented out in ref (:1071-1077)
+
+
+@dataclass(frozen=True)
+class WarpConfig:
+    """Rotation warper configuration (ref 圆柱面投影.cpp)."""
+
+    kind: str = "cylindrical"     # cylindrical|spherical|plane|fisheye|stereographic
+    # static canvas capacity as a multiple of the input image size (the
+    # jit-compiled pipeline warps into a fixed canvas; ROI offsets are dynamic)
+    canvas_scale_w: float = 2.5
+    canvas_scale_h: float = 1.5
+
+
+@dataclass(frozen=True)
+class ExposureConfig:
+    """Gain exposure compensation (stock ExposureCompensator::GAIN,
+    ref 特征点检测.cpp:1114-1121)."""
+
+    kind: str = "gain"            # gain|none
+
+
+@dataclass(frozen=True)
+class SeamConfig:
+    """Seam finder configuration (ref 动态规划....cpp; GraphCut COST_COLOR used
+    in most reference mains, DP/Voronoi in project 6)."""
+
+    kind: str = "dp_color"        # dp_color|dp_colorgrad|voronoi|none
+    dilate_kernel: int = 20       # ref 特征点检测.cpp:1164 (20x20 rect dilate)
+
+
+@dataclass(frozen=True)
+class BlendConfig:
+    """Blender configuration (ref FeatherBlender 特征点检测.cpp:1148-1156;
+    MultiBandBlender commented at :1143-1144; custom ramp 图像融合.cpp)."""
+
+    kind: str = "feather"         # feather|multiband|ramp|none
+    feather_sharpness: float = 5.0
+    num_bands: int = 5
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    detector: DetectorConfig = DetectorConfig()
+    matcher: MatcherConfig = MatcherConfig()
+    ransac: RansacConfig = RansacConfig()
+    camera: CameraConfig = CameraConfig()
+    warp: WarpConfig = WarpConfig()
+    exposure: ExposureConfig = ExposureConfig()
+    seam: SeamConfig = SeamConfig()
+    blend: BlendConfig = BlendConfig()
+    # working scale: images are processed at full resolution by default
+    work_megapix: float = -1.0
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,95 @@
+"""FAST-9/16 corner scores and Harris responses as dense, fully-vectorized
+map computations.
+
+The reference's detector calls OpenCV's per-pixel FastFeatureDetector and a
+per-keypoint HarrisResponses loop (ref 特征点检测.cpp:118-119 and :204-249).
+The TPU-native formulation computes the whole score map at once: 16 shifted
+views of the image (the Bresenham circle), arc tests via a cumulative-sum
+window trick, and non-max suppression via a 3x3 max-pool — all fusable
+elementwise/VPU work with no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+# Bresenham circle of radius 3, 16 points in circular order (dx, dy) —
+# the FAST-16 sampling ring.
+CIRCLE16 = np.array([
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+], np.int32)
+
+ARC_LEN = 9  # FAST-9: a corner needs >= 9 contiguous brighter/darker pixels
+
+
+def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Dense FAST-9/16 corner score map, 0 where not a corner.
+
+    Score is OpenCV's definition: the largest threshold at which the pixel is
+    still a corner = max over valid 9-arcs of the arc's min |difference|.
+    img: (H, W) float32. Borders (3 px) are implicitly garbage via roll
+    wraparound; callers mask a >=3 px border (the detector masks
+    edge_threshold anyway).
+    """
+    img = img.astype(jnp.float32)
+    # d[k] = I(p + offset_k) - I(p); roll(-dy,-dx) brings (y+dy, x+dx) to (y,x)
+    shifted = [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1))
+               for dx, dy in CIRCLE16]
+    d = jnp.stack(shifted, axis=0) - img[None]              # (16, H, W)
+    d_ext = jnp.concatenate([d, d[:ARC_LEN - 1]], axis=0)    # wrap (24, H, W)
+
+    t = jnp.float32(threshold)
+    bright = (d_ext > t).astype(jnp.int32)
+    dark = (d_ext < -t).astype(jnp.int32)
+
+    # windowed tests over the 16 circular arc starts
+    zb = jnp.zeros_like(bright[:1])
+    cb = jnp.concatenate([zb, jnp.cumsum(bright, axis=0)], axis=0)
+    cd = jnp.concatenate([zb, jnp.cumsum(dark, axis=0)], axis=0)
+
+    score = jnp.zeros_like(img)
+    neg_inf = jnp.float32(-3.4e38)
+    for s in range(16):
+        all_b = (cb[s + ARC_LEN] - cb[s]) == ARC_LEN
+        all_d = (cd[s + ARC_LEN] - cd[s]) == ARC_LEN
+        # min over the arc of d (resp. -d); invalid arcs contribute -inf
+        arc = lax.dynamic_slice_in_dim(d_ext, s, ARC_LEN, axis=0)
+        mn_b = jnp.min(arc, axis=0)
+        mn_d = jnp.min(-arc, axis=0)
+        score = jnp.maximum(score, jnp.where(all_b, mn_b, neg_inf))
+        score = jnp.maximum(score, jnp.where(all_d, mn_d, neg_inf))
+    return jnp.maximum(score, 0.0)
+
+
+def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
+    """3x3 non-max suppression: keep strictly-positive local maxima."""
+    mx = lax.reduce_window(score, -jnp.inf, lax.max, (3, 3), (1, 1),
+                           [(1, 1), (1, 1)])
+    return jnp.where((score >= mx) & (score > 0), score, 0.0)
+
+
+def harris_map(img: jnp.ndarray, block_size: int = 7,
+               k: float = 0.04) -> jnp.ndarray:
+    """Dense Harris response with a block_size box window and [-1, 0, 1]
+    central-difference gradients — the dense-map equivalent of the
+    reference's per-keypoint HarrisResponses (:204-249), including its
+    1/(4·block·255)⁴ scaling so response magnitudes match.
+    """
+    img = img.astype(jnp.float32)
+    Ix = 0.5 * (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1)) * 2.0
+    Iy = 0.5 * (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0)) * 2.0
+
+    def box(x):
+        return lax.reduce_window(
+            x, 0.0, lax.add, (block_size, block_size), (1, 1),
+            [(block_size // 2, block_size // 2)] * 2)
+
+    a = box(Ix * Ix)
+    b = box(Iy * Iy)
+    c = box(Ix * Iy)
+    scale = 1.0 / (4 * block_size * 255.0)
+    s4 = jnp.float32(scale ** 4)
+    return (a * b - c * c - k * (a + b) * (a + b)) * s4

@@ -1,0 +1,72 @@
+"""BRIEF sampling pattern for the ORB descriptor.
+
+The reference bakes in OpenCV's learned 256-pair `bit_pattern_31_` table
+(ref 特征点检测.cpp:448-706) next to a `makeRandomPattern` fallback (:709-719)
+that draws uniform points in the patch. This framework generates its own
+deterministic pattern (seeded Gaussian, the BRIEF paper's recommended
+σ = patch_size/5 distribution) rather than shipping OpenCV's learned table:
+descriptors are self-consistent within the framework, which is what matching
+requires, and the generator reproduces the reference's `makeRandomPattern`
+capability.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+PATTERN_SEED = 0x34985739  # the reference's RNG seed (ref 特征点匹配.cpp:75)
+
+
+@functools.lru_cache(maxsize=None)
+def brief_pattern(n_pairs: int = 256, patch_size: int = 31,
+                  seed: int = PATTERN_SEED) -> np.ndarray:
+    """Deterministic (2*n_pairs, 2) int32 array of (x, y) sample offsets.
+
+    Gaussian σ = patch_size/5 (BRIEF's G-II distribution), clipped so that a
+    rotated sample never leaves a (patch_size+6)-wide patch: |p| <= 13 for
+    patch 31, mirroring the extent of OpenCV's learned table.
+    """
+    rng = np.random.default_rng(seed)
+    sigma = patch_size / 5.0
+    rmax = patch_size // 2 - 2  # 13 for patch 31
+    pts = np.zeros((2 * n_pairs, 2), np.int32)
+    count = 0
+    while count < 2 * n_pairs:
+        cand = rng.normal(0.0, sigma, size=(2 * n_pairs, 2))
+        cand = np.round(cand).astype(np.int32)
+        norm = np.sqrt((cand ** 2).sum(1))
+        cand = cand[norm <= rmax]
+        take = min(len(cand), 2 * n_pairs - count)
+        pts[count:count + take] = cand[:take]
+        count += take
+    # drop degenerate pairs (identical endpoints give constant bits):
+    # nudge the second point of any identical pair by one pixel in x
+    a = pts[0::2]
+    b = pts[1::2]
+    same = np.all(a == b, axis=1)
+    b[same, 0] = np.clip(b[same, 0] + 1, -rmax, rmax)
+    pts[1::2] = b
+    return pts
+
+
+@functools.lru_cache(maxsize=None)
+def ic_angle_offsets(half_patch: int = 15):
+    """Circular-patch offsets and weights for the intensity-centroid angle
+    (ref ICAngles :250-283 with the u_max table built at :820-833).
+
+    Returns (du, dv, inside): flattened (P,) int32 offset grids over the
+    (2h+1)² patch and a float32 mask selecting the circle u_max(v) = the
+    symmetrized cvRound(sqrt(h² - v²)) of the reference.
+    """
+    h = half_patch
+    # OpenCV builds u_max for v in [0, h*sqrt(2)/2+1] via round(sqrt(h^2-v^2))
+    # and symmetrizes the corner band; the net effect is a disc of radius h.
+    vs, us = np.mgrid[-h:h + 1, -h:h + 1]
+    umax = np.round(np.sqrt(np.maximum(h * h - vs.astype(np.float64) ** 2,
+                                       0.0)))
+    inside = (np.abs(us) <= umax).astype(np.float32)
+    return (us.reshape(-1).astype(np.int32),
+            vs.reshape(-1).astype(np.int32),
+            inside.reshape(-1))

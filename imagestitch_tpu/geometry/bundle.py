@@ -1,0 +1,149 @@
+"""Ray-error bundle adjustment + wave correction.
+
+The reference uses stock OpenCV for both: `BundleAdjusterRay` with
+conf_thresh=1 (ref 特征点检测.cpp:1064-1067) and `waveCorrect` (present but
+commented out, :1071-1077). This is the TPU-native equivalent: per-camera
+(focal, Rodrigues rotation) parameters refined by Levenberg–Marquardt over
+the ray-difference residuals of all inlier correspondences, with the whole
+solver (residuals, Jacobian via jacfwd, damped normal equations) one jitted
+function — the parameter vector is tiny (4 per camera) while the residual
+set is large, exactly the shape LM-on-device likes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from imagestitch_tpu.types import CameraParams
+
+
+def rodrigues_to_R(r: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix from a Rodrigues vector (3,), small-angle safe."""
+    theta2 = jnp.sum(r * r)
+    theta = jnp.sqrt(theta2 + 1e-24)
+    k = r / theta
+    K = jnp.array([[0.0, -k[2], k[1]],
+                   [k[2], 0.0, -k[0]],
+                   [-k[1], k[0], 0.0]])
+    s = jnp.sin(theta)
+    c = jnp.cos(theta)
+    R = jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+    # near-zero angle: first-order expansion
+    Rsmall = jnp.eye(3) + jnp.array([[0.0, -r[2], r[1]],
+                                     [r[2], 0.0, -r[0]],
+                                     [-r[1], r[0], 0.0]])
+    return jnp.where(theta2 < 1e-12, Rsmall, R).astype(jnp.float32)
+
+
+def R_to_rodrigues(R: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues vector from a rotation matrix (3, 3)."""
+    tr = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(tr)
+    v = jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    s = 2.0 * jnp.sin(theta)
+    scale = jnp.where(jnp.abs(s) < 1e-8, 0.5, theta / jnp.where(
+        jnp.abs(s) < 1e-8, 1.0, s))
+    return (v * scale).astype(jnp.float32)
+
+
+def _rays(params_i: jnp.ndarray, pts: jnp.ndarray, ppx, ppy) -> jnp.ndarray:
+    """Unit rays of pixel points under camera params (focal, r3). (T, 3)."""
+    f = params_i[0]
+    R = rodrigues_to_R(params_i[1:4])
+    x = (pts[:, 0] - ppx) / f
+    y = (pts[:, 1] - ppy) / f
+    d = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)  # K^-1 p
+    rays = d @ R.T
+    return rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+
+
+def bundle_adjust_ray(cameras: CameraParams,
+                      src_pts: jnp.ndarray, dst_pts: jnp.ndarray,
+                      pt_valid: jnp.ndarray,
+                      pair_from: jnp.ndarray, pair_to: jnp.ndarray,
+                      pair_valid: jnp.ndarray,
+                      iters: int = 25) -> CameraParams:
+    """Refine focals + rotations by minimizing ray differences.
+
+    src_pts/dst_pts: (P, T, 2) pixel coordinates of inlier correspondences
+    per pair (padded to T); pt_valid: (P, T) bool; pair_from/to: (P,) int32;
+    pair_valid: (P,) bool (confidence > conf_thresh pairs only, as the
+    reference driver passes to BundleAdjusterRay).
+
+    Residual per correspondence: sqrt(f_i·f_j) · (ray_i − ray_j), three
+    components, matching OpenCV's BundleAdjusterRay error metric.
+    """
+    N = cameras.focal.shape[0]
+    r0 = jax.vmap(R_to_rodrigues)(cameras.R)                     # (N, 3)
+    x0 = jnp.concatenate([cameras.focal[:, None], r0], axis=1).reshape(-1)
+
+    ppx, ppy = cameras.ppx, cameras.ppy
+    m = (pt_valid & pair_valid[:, None]).astype(jnp.float32)      # (P, T)
+
+    def residuals(x):
+        p = x.reshape(N, 4)
+        fi = p[pair_from, 0]
+        fj = p[pair_to, 0]
+        scale = jnp.sqrt(jnp.abs(fi * fj))[:, None, None]         # (P,1,1)
+        rays_i = jax.vmap(
+            lambda pf, pts: _rays(p[pf], pts, ppx[pf], ppy[pf]),
+            in_axes=(0, 0))(pair_from, src_pts)                   # (P, T, 3)
+        rays_j = jax.vmap(
+            lambda pt_, pts: _rays(p[pt_], pts, ppx[pt_], ppy[pt_]),
+            in_axes=(0, 0))(pair_to, dst_pts)
+        r = (rays_i - rays_j) * scale * m[..., None]
+        return r.reshape(-1)
+
+    def err_of(x):
+        r = residuals(x)
+        return jnp.sum(r * r)
+
+    jac = jax.jacfwd(residuals)
+
+    def body(_, state):
+        x, lam, err = state
+        r = residuals(x)
+        J = jac(x)                                                # (M, 4N)
+        A = J.T @ J
+        g = J.T @ r
+        D = jnp.diag(jnp.maximum(jnp.diag(A), 1e-8))
+        dx = jnp.linalg.solve(A + lam * D, g)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        x_try = x - dx
+        e_try = err_of(x_try)
+        accept = e_try < err
+        return (jnp.where(accept, x_try, x),
+                jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e10),
+                jnp.where(accept, e_try, err))
+
+    xf, _, _ = lax.fori_loop(0, iters, body, (x0, jnp.float32(1e-3),
+                                              err_of(x0)))
+    pf = xf.reshape(N, 4)
+    Rf = jax.vmap(rodrigues_to_R)(pf[:, 1:4])
+    return cameras.replace(focal=jnp.abs(pf[:, 0]), R=Rf)
+
+
+def wave_correct(R: jnp.ndarray, kind: str = "horiz") -> jnp.ndarray:
+    """Straighten the panorama horizon (OpenCV detail::waveCorrect; present
+    but commented out in the reference driver, 特征点检测.cpp:1071-1077).
+
+    R: (N, 3, 3). Returns the globally-rotated (N, 3, 3).
+    """
+    x_axes = R[:, :, 0]                                           # (N, 3)
+    moment = x_axes.T @ x_axes                                    # (3, 3)
+    _, V = jnp.linalg.eigh(moment)
+    rg1 = V[:, 0]                                                 # smallest
+    img_k = jnp.sum(R[:, :, 2], axis=0)
+    rg0 = jnp.cross(rg1, img_k)
+    rg0 = rg0 / jnp.maximum(jnp.linalg.norm(rg0), 1e-12)
+    rg2 = jnp.cross(rg0, rg1)
+
+    if kind == "horiz":
+        conf = jnp.sum(x_axes @ rg0)
+        sign = jnp.where(conf < 0, -1.0, 1.0)
+        rg0 = rg0 * sign
+        rg1 = rg1 * sign
+    G = jnp.stack([rg0, rg1, rg2], axis=0)                        # rows
+    return jnp.einsum("ab,nbc->nac", G, R).astype(jnp.float32)
