@@ -1,0 +1,99 @@
+"""Rotation warper: dest-ROI estimation + backward-map + fused bilinear
+gather into a static canvas.
+
+Reconstruction of ref 圆柱面投影.cpp buildMaps/warp (:122-160) and
+detectResultRoi (:64-88), redesigned for static shapes:
+
+- The reference brute-force forward-maps EVERY source pixel to bound the ROI
+  (:72-86, flagged hot in SURVEY.md §3.4). Here the bound comes from a
+  decimated source grid (border + interior samples) — two orders of
+  magnitude fewer trig evaluations, still a superset of the border-only
+  bound needed by these projections.
+- The warped ROI has data-dependent size; under jit the image is warped into
+  a fixed-capacity canvas (config canvas_scale_*) with a dynamic corner
+  offset and a validity mask — downstream stages are mask-aware, matching
+  the framework-wide fixed-capacity design.
+- buildMaps + remap fuse into one computation: backward map grids feed the
+  bilinear gather of ops.image.remap_bilinear directly (ref runs cv::remap
+  as a separate pass over xmap/ymap buffers it first materializes).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from imagestitch_tpu.ops.image import remap_bilinear, remap_nearest
+from imagestitch_tpu.warp.projectors import PROJECTORS
+
+
+@struct.dataclass
+class WarpResult:
+    image: jnp.ndarray    # (Hc, Wc, C) float32 — warped into static canvas
+    mask: jnp.ndarray     # (Hc, Wc) bool — valid warped pixels
+    corner: jnp.ndarray   # (2,) int32 — (x, y) of canvas origin in pano coords
+    size: jnp.ndarray     # (2,) int32 — (w, h) actual ROI extent (<= canvas)
+
+
+def _roi_bounds(proj, src_h: int, src_w: int, samples: int = 64):
+    """(u_min, v_min, u_max, v_max) from a decimated source grid."""
+    xs = jnp.linspace(0.0, src_w - 1.0, min(samples, src_w))
+    ys = jnp.linspace(0.0, src_h - 1.0, min(samples, src_h))
+    gx, gy = jnp.meshgrid(xs, ys)
+    u, v = proj.forward(gx, gy)
+    return jnp.min(u), jnp.min(v), jnp.max(u), jnp.max(v)
+
+
+def warp_image(img: jnp.ndarray, K: jnp.ndarray, R: jnp.ndarray,
+               scale, canvas_hw: tuple[int, int],
+               kind: str = "cylindrical",
+               mask: jnp.ndarray | None = None,
+               interp: str = "linear") -> WarpResult:
+    """Warp a source image (H, W[, C]) onto the projection surface.
+
+    Equivalent of ref warp() (:145-160): builds the backward map over the
+    dest ROI and gathers with bilinear (images, INTER_LINEAR/BORDER_REFLECT
+    in the driver 特征点检测.cpp:1105) or nearest (masks, INTER_NEAREST
+    :1107-1109) sampling. `scale` is the warped-surface scale — the driver
+    passes the camera focal (ref :222).
+    """
+    H, W = img.shape[:2]
+    Hc, Wc = canvas_hw
+    proj = PROJECTORS[kind](K, R, scale)
+
+    u0, v0, u1, v1 = _roi_bounds(proj, H, W)
+    corner = jnp.stack([jnp.floor(u0), jnp.floor(v0)]).astype(jnp.int32)
+    size_w = (jnp.ceil(u1) - jnp.floor(u0) + 1).astype(jnp.int32)
+    size_h = (jnp.ceil(v1) - jnp.floor(v0) + 1).astype(jnp.int32)
+    size = jnp.stack([jnp.minimum(size_w, Wc), jnp.minimum(size_h, Hc)])
+
+    # dest grid in pano coords
+    dx = jnp.arange(Wc, dtype=jnp.float32)[None, :] + corner[0]
+    dy = jnp.arange(Hc, dtype=jnp.float32)[:, None] + corner[1]
+    dxg = jnp.broadcast_to(dx, (Hc, Wc))
+    dyg = jnp.broadcast_to(dy, (Hc, Wc))
+
+    xm, ym, ray_ok = proj.backward(dxg, dyg)
+    in_roi = ((dxg <= u1 + 1.0) & (dyg <= v1 + 1.0))
+
+    if mask is None:
+        mask = jnp.ones((H, W), jnp.float32)
+    if interp == "linear":
+        out, samp_ok = remap_bilinear(img.astype(jnp.float32), xm, ym)
+    else:
+        out, samp_ok = remap_nearest(img.astype(jnp.float32), xm, ym)
+    m_out, _ = remap_nearest(mask.astype(jnp.float32), xm, ym)
+
+    valid = ray_ok & samp_ok & in_roi & (m_out > 0.5)
+    vmask = valid[..., None] if out.ndim == 3 else valid
+    out = jnp.where(vmask, out, 0.0)
+    return WarpResult(image=out, mask=valid, corner=corner, size=size)
+
+
+def warp_point(xy: jnp.ndarray, K: jnp.ndarray, R: jnp.ndarray, scale,
+               kind: str = "cylindrical") -> jnp.ndarray:
+    """Forward-map points (..., 2) onto the projection surface (OpenCV
+    RotationWarper::warpPoint)."""
+    proj = PROJECTORS[kind](K, R, scale)
+    u, v = proj.forward(xy[..., 0], xy[..., 1])
+    return jnp.stack([u, v], axis=-1)

@@ -1,0 +1,135 @@
+"""ORB detector tests: FAST corner semantics on constructed patterns,
+rotation behavior of IC angles, descriptor invariances, capacity handling."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from imagestitch_tpu.config import DetectorConfig
+from imagestitch_tpu.features import (
+    detect_and_compute, fast_score_map, harris_map, nms3x3, brief_pattern,
+)
+from imagestitch_tpu.utils.io import synthetic_pair
+
+CFG_SMALL = DetectorConfig(nfeatures=128, max_keypoints=512)
+
+
+def test_fast_detects_synthetic_corner():
+    # bright 10x10 square on dark bg: its corners are FAST corners
+    img = np.zeros((64, 64), np.float32)
+    img[24:34, 24:34] = 200.0
+    score = np.asarray(fast_score_map(jnp.asarray(img), 20.0))
+    # corners of the square respond
+    assert score[24, 24] > 0
+    assert score[33, 33] > 0
+    # flat regions don't
+    assert score[5:15, 5:15].max() == 0
+    # straight edge midpoints are not FAST-9 corners (arc < 9)
+    assert score[24 + 5, 24] == 0 or score[24 + 5, 24] < score[24, 24]
+
+
+def test_fast_score_monotone_in_contrast():
+    def square(contrast):
+        img = np.zeros((48, 48), np.float32)
+        img[20:30, 20:30] = contrast
+        return np.asarray(fast_score_map(jnp.asarray(img), 20.0))[20, 20]
+
+    assert square(200.0) > square(100.0) > 0
+
+
+def test_nms_keeps_single_peak():
+    img = np.zeros((32, 32), np.float32)
+    img[16, 16] = 5.0
+    img[16, 17] = 4.0
+    out = np.asarray(nms3x3(jnp.asarray(img)))
+    assert out[16, 16] == 5.0
+    assert out[16, 17] == 0.0
+
+
+def test_harris_corner_positive_edge_negative():
+    img = np.zeros((64, 64), np.float32)
+    img[:32, :32] = 200.0  # one corner at (32, 32), edges along x=32/y=32
+    h = np.asarray(harris_map(jnp.asarray(img), 7))
+    assert h[32, 32] > 0  # corner
+    assert h[10, 32] < h[32, 32]  # edge weaker than corner
+
+
+def test_brief_pattern_deterministic_and_bounded():
+    p1 = brief_pattern(256, 31)
+    p2 = brief_pattern(256, 31)
+    assert np.array_equal(p1, p2)
+    assert p1.shape == (512, 2)
+    assert np.sqrt((p1 ** 2).sum(1)).max() <= 13
+    # no degenerate pairs
+    assert not np.any(np.all(p1[0::2] == p1[1::2], axis=1))
+
+
+def test_detect_and_compute_shapes_and_validity():
+    img1, _, _ = synthetic_pair(240, 320, seed=3)
+    gray = jnp.asarray(img1, jnp.float32) @ jnp.asarray(
+        [0.299, 0.587, 0.114], jnp.float32)
+    feats = jax.jit(lambda g: detect_and_compute(g, CFG_SMALL))(gray)
+    K = feats.capacity
+    assert K == 512
+    assert feats.descriptors.shape == (K, 256)
+    nv = int(feats.num_valid())
+    assert nv > 50  # textured synthetic scene has plenty of corners
+    v = np.asarray(feats.valid)
+    xy = np.asarray(feats.xy)[v]
+    # all valid keypoints inside the image with margin
+    assert xy[:, 0].min() >= 0 and xy[:, 0].max() < 320
+    assert xy[:, 1].min() >= 0 and xy[:, 1].max() < 240
+    # descriptors are bits
+    d = np.asarray(feats.descriptors)[v]
+    assert set(np.unique(d)).issubset({0, 1})
+    # descriptor bits vary across keypoints (not constant)
+    assert 0.05 < d.mean() < 0.95
+
+
+def test_detect_translation_covariance():
+    """Keypoints of a shifted image are (mostly) shifted keypoints."""
+    img1, img2, shift = synthetic_pair(240, 320, overlap=0.5, seed=5)
+    to_gray = lambda im: jnp.asarray(im, jnp.float32) @ jnp.asarray(
+        [0.299, 0.587, 0.114], jnp.float32)
+    fn = jax.jit(lambda g: detect_and_compute(g, CFG_SMALL))
+    f1 = fn(to_gray(img1))
+    f2 = fn(to_gray(img2))
+    v1 = np.asarray(f1.valid)
+    v2 = np.asarray(f2.valid)
+    xy1 = np.asarray(f1.xy)[v1]
+    xy2 = np.asarray(f2.xy)[v2]
+    # keypoints of img2 in overlap should appear in img1 at x+shift
+    xy2_in1 = xy2 + np.array([shift, 0.0])
+    sel = xy2_in1[:, 0] < 320 - 8
+    matched = 0
+    for p in xy2_in1[sel][:100]:
+        dmin = np.min(np.linalg.norm(xy1 - p, axis=1))
+        matched += dmin < 2.0
+    assert matched / max(len(xy2_in1[sel][:100]), 1) > 0.5
+
+
+def test_descriptor_stability_under_translation():
+    """The same physical corner yields (near-)identical descriptors in two
+    overlapping views related by pure translation."""
+    img1, img2, shift = synthetic_pair(240, 320, overlap=0.5, seed=6)
+    to_gray = lambda im: jnp.asarray(im, jnp.float32) @ jnp.asarray(
+        [0.299, 0.587, 0.114], jnp.float32)
+    fn = jax.jit(lambda g: detect_and_compute(g, CFG_SMALL))
+    f1 = fn(to_gray(img1))
+    f2 = fn(to_gray(img2))
+    v1, v2 = np.asarray(f1.valid), np.asarray(f2.valid)
+    xy1, xy2 = np.asarray(f1.xy), np.asarray(f2.xy)
+    d1, d2 = np.asarray(f1.descriptors), np.asarray(f2.descriptors)
+    lev1, lev2 = np.asarray(f1.level), np.asarray(f2.level)
+    # find level-0 coincident pairs
+    hams = []
+    for i in np.nonzero(v2 & (lev2 == 0))[0]:
+        p_in1 = xy2[i] + np.array([shift, 0.0])
+        cand = np.nonzero(v1 & (lev1 == 0))[0]
+        dist = np.linalg.norm(xy1[cand] - p_in1, axis=1)
+        j = cand[np.argmin(dist)]
+        if dist.min() < 1.0:
+            hams.append(np.sum(d1[j] != d2[i]))
+    assert len(hams) >= 5
+    # coincident corners: hamming distance well below random (128)
+    assert np.median(hams) < 40
