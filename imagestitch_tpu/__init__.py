@@ -27,6 +27,21 @@ import jax as _jax
 # explicitly opts back into bf16 MXU passes.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the full jitted pipeline is a large XLA
+# program (minutes to compile at 1080p on a tunneled TPU); cache compiled
+# executables across processes. Override with JAX_COMPILATION_CACHE_DIR.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..",
+                  ".jax_cache"))
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without the knobs — cache is best-effort
+    pass
+
 from imagestitch_tpu.config import (
     DetectorConfig,
     MatcherConfig,

@@ -1,0 +1,36 @@
+"""Feather blender.
+
+Equivalent of OpenCV's FeatherBlender, the reference driver's default
+(ref 特征点检测.cpp:1148-1183: prepare → feed(CV_16S) → blend, sharpness 5
+or 0.1 at 恢复相机内参数.cpp:439): per-image weights
+min(distance_to_border · sharpness, 1) and a normalized weighted sum. The
+distance transform is the associative-scan L1 DT; everything batches over N
+shared-frame canvases in one fused dispatch (no int16 round-trip — the
+reference's CV_16S feed is an OpenCV storage artifact).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from imagestitch_tpu.seam.distance import l1_distance_transform
+
+WEIGHT_EPS = 1e-5  # OpenCV Blender::blend's normalization epsilon
+
+
+def feather_weights(mask: jnp.ndarray, sharpness: float = 5.0) -> jnp.ndarray:
+    """createWeightMap equivalent: min(DT_L1(mask) * sharpness, 1)."""
+    return jnp.minimum(l1_distance_transform(mask) * sharpness, 1.0)
+
+
+def feather_blend(images: jnp.ndarray, masks: jnp.ndarray,
+                  sharpness: float = 5.0):
+    """Blend N shared-frame canvases: (N, H, W, C) x (N, H, W) bool ->
+    ((H, W, C), (H, W) bool)."""
+    w = feather_weights(masks, sharpness)                  # (N, H, W)
+    wsum = jnp.sum(w, axis=0)
+    out = jnp.sum(images * w[..., None], axis=0) / (
+        wsum[..., None] + WEIGHT_EPS)
+    valid = jnp.any(masks, axis=0)
+    out = jnp.where(valid[..., None], out, 0.0)
+    return out, valid

@@ -42,25 +42,21 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     d_ext = jnp.concatenate([d, d[:ARC_LEN - 1]], axis=0)    # wrap (24, H, W)
 
     t = jnp.float32(threshold)
-    bright = (d_ext > t).astype(jnp.int32)
-    dark = (d_ext < -t).astype(jnp.int32)
+    # all 16 sliding 9-windows at once along the arc axis: one reduce_window
+    # per statistic instead of an unrolled per-arc loop (compiles ~10x
+    # faster, same fused VPU work)
+    def win(x, init, op):
+        return lax.reduce_window(x, init, op, (ARC_LEN, 1, 1), (1, 1, 1),
+                                 "VALID")                     # (16, H, W)
 
-    # windowed tests over the 16 circular arc starts
-    zb = jnp.zeros_like(bright[:1])
-    cb = jnp.concatenate([zb, jnp.cumsum(bright, axis=0)], axis=0)
-    cd = jnp.concatenate([zb, jnp.cumsum(dark, axis=0)], axis=0)
-
-    score = jnp.zeros_like(img)
+    arc_min = win(d_ext, jnp.inf, lax.min)
+    arc_max = win(d_ext, -jnp.inf, lax.max)
+    all_bright = arc_min > t        # every element of the arc > t
+    all_dark = arc_max < -t         # every element < -t
     neg_inf = jnp.float32(-3.4e38)
-    for s in range(16):
-        all_b = (cb[s + ARC_LEN] - cb[s]) == ARC_LEN
-        all_d = (cd[s + ARC_LEN] - cd[s]) == ARC_LEN
-        # min over the arc of d (resp. -d); invalid arcs contribute -inf
-        arc = lax.dynamic_slice_in_dim(d_ext, s, ARC_LEN, axis=0)
-        mn_b = jnp.min(arc, axis=0)
-        mn_d = jnp.min(-arc, axis=0)
-        score = jnp.maximum(score, jnp.where(all_b, mn_b, neg_inf))
-        score = jnp.maximum(score, jnp.where(all_d, mn_d, neg_inf))
+    score_b = jnp.where(all_bright, arc_min, neg_inf)
+    score_d = jnp.where(all_dark, -arc_max, neg_inf)
+    score = jnp.max(jnp.maximum(score_b, score_d), axis=0)
     return jnp.maximum(score, 0.0)
 
 

@@ -134,42 +134,45 @@ def detect_and_compute(gray: jnp.ndarray,
         k_cell = max(int(np.ceil(quotas[l] / ncells)), 1)
         k_cand = max(int(np.ceil(k_cell * cfg.per_level_overretain)), k_cell)
 
+        # static per-cell column/row bounds, vmapped cell selection
+        cell_bounds = []
         for cy in range(cfg.grid_rows):
             for cx in range(cfg.grid_cols):
-                y0 = Hl * cy // cfg.grid_rows
-                y1 = Hl * (cy + 1) // cfg.grid_rows
-                x0 = Wl * cx // cfg.grid_cols
-                x1 = Wl * (cx + 1) // cfg.grid_cols
-                cell = ((ygrid >= y0) & (ygrid < y1)
-                        & (xgrid >= x0) & (xgrid < x1))
-                s_cell = jnp.where(cell, score, 0.0).reshape(-1)
+                cell_bounds.append((Hl * cy // cfg.grid_rows,
+                                    Hl * (cy + 1) // cfg.grid_rows,
+                                    Wl * cx // cfg.grid_cols,
+                                    Wl * (cx + 1) // cfg.grid_cols))
+        cb = jnp.asarray(cell_bounds, jnp.int32)              # (C, 4)
 
-                cand_s, cand_i = jax.lax.top_k(s_cell, k_cand)
-                cyk = cand_i // Wl
-                cxk = cand_i % Wl
-                cand_valid = cand_s > 0
+        def per_cell(b):
+            cell = ((ygrid >= b[0]) & (ygrid < b[1])
+                    & (xgrid >= b[2]) & (xgrid < b[3]))
+            s_cell = jnp.where(cell, score, 0.0).reshape(-1)
+            cand_s, cand_i = jax.lax.top_k(s_cell, k_cand)
+            cand_valid = cand_s > 0
+            # Harris re-score (ref :152-177), invalid slots to -inf
+            hvals = harris.reshape(-1)[cand_i]
+            hvals = jnp.where(cand_valid, hvals, -jnp.inf)
+            top_h, top_j = jax.lax.top_k(hvals, k_cell)
+            ci = cand_i[top_j]
+            xk = ci % Wl
+            yk = ci // Wl
+            v = cand_valid[top_j]
+            ang = _ic_angles(img_l, xk, yk, cfg.patch_size // 2)
+            d = _orb_descriptors(blurred, xk, yk, ang, cfg)
+            return xk, yk, jnp.where(v, top_h, 0.0), ang, v, d
 
-                # Harris re-score (ref :152-177), invalid slots to -inf
-                hvals = harris.reshape(-1)[cand_i]
-                hvals = jnp.where(cand_valid, hvals, -jnp.inf)
-                top_h, top_j = jax.lax.top_k(hvals, k_cell)
-                xk = cxk[top_j]
-                yk = cyk[top_j]
-                v = cand_valid[top_j]
-
-                ang = _ic_angles(img_l, xk, yk, cfg.patch_size // 2)
-                d = _orb_descriptors(blurred, xk, yk, ang, cfg)
-
-                s = level_scale(l, cfg.scale_factor, cfg.first_level)
-                xs.append(xk.astype(jnp.float32) * s)
-                ys.append(yk.astype(jnp.float32) * s)
-                resp.append(jnp.where(v, top_h, 0.0).astype(jnp.float32))
-                angs.append(ang)
-                sizes.append(jnp.full((k_cell,), cfg.patch_size * s,
-                                      jnp.float32))
-                levels.append(jnp.full((k_cell,), l, jnp.int32))
-                valids.append(v)
-                descs.append(d)
+        xk, yk, h_resp, ang, v, d = jax.vmap(per_cell)(cb)    # (C, k_cell, ..)
+        n_l = ncells * k_cell
+        s = level_scale(l, cfg.scale_factor, cfg.first_level)
+        xs.append(xk.reshape(-1).astype(jnp.float32) * s)
+        ys.append(yk.reshape(-1).astype(jnp.float32) * s)
+        resp.append(h_resp.reshape(-1).astype(jnp.float32))
+        angs.append(ang.reshape(-1))
+        sizes.append(jnp.full((n_l,), cfg.patch_size * s, jnp.float32))
+        levels.append(jnp.full((n_l,), l, jnp.int32))
+        valids.append(v.reshape(-1))
+        descs.append(d.reshape(-1, d.shape[-1]))
 
     xy = jnp.stack([jnp.concatenate(xs), jnp.concatenate(ys)], axis=1)
     feats = ImageFeatures(

@@ -122,6 +122,11 @@ def bundle_adjust_ray(cameras: CameraParams,
                                               err_of(x0)))
     pf = xf.reshape(N, 4)
     Rf = jax.vmap(rodrigues_to_R)(pf[:, 1:4])
+    # Gauge fix: the ray residuals are invariant under a global rotation, so
+    # LM can drift all cameras by a common roll/pan. Re-anchor camera 0 to
+    # its pre-BA orientation: R_i <- R0_init · R0_baᵀ · R_i.
+    G = cameras.R[0] @ Rf[0].T
+    Rf = jnp.einsum("ab,nbc->nac", G, Rf)
     return cameras.replace(focal=jnp.abs(pf[:, 0]), R=Rf)
 
 

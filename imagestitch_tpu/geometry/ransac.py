@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from imagestitch_tpu.config import RansacConfig
+from imagestitch_tpu.parallel.mesh import shard_hint
 from imagestitch_tpu.geometry.homography import (
     dlt_homography,
     lm_refine_homography,
@@ -94,8 +95,11 @@ def find_homography(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray,
     # compact valid indices to the front (stable)
     order = jnp.argsort(jnp.logical_not(mask), stable=True)
 
-    # draw B x 4 indices over the valid prefix
+    # draw B x 4 indices over the valid prefix; the hypothesis batch shards
+    # over the "model" mesh axis when one is active (parallel.mesh) — XLA
+    # turns the final argmax into an ICI collective
     u = jax.random.uniform(key, (B, 4))
+    u = shard_hint(u, "model", 0)
     raw = jnp.floor(u * jnp.maximum(nvalid, 1).astype(jnp.float32))
     raw = jnp.clip(raw.astype(jnp.int32), 0, jnp.maximum(nvalid - 1, 0))
     idx = order[raw]                                   # (B, 4) into src/dst

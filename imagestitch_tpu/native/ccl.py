@@ -1,0 +1,161 @@
+"""ctypes bindings for the native CCL/flood-fill runtime (ccl.cpp), with a
+pure-NumPy fallback when no C++ toolchain is available.
+
+The native path replaces the reference's OpenCV floodFill component analysis
+(ref 动态规划....cpp:196-310, :960-1093) for host-side mask bookkeeping.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libccl.so")
+_SRC = os.path.join(_HERE, "ccl.cpp")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
+                                       < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.ccl_label.restype = ctypes.c_int32
+        lib.ccl_label.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64]
+        lib.flood_fill.restype = ctypes.c_int64
+        lib.flood_fill.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_uint8, ctypes.c_uint8]
+        lib.ccl_stats.restype = None
+        lib.ccl_stats.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32)]
+        _lib = lib
+        return _lib
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+def connected_components(mask: np.ndarray):
+    """4-connected labeling. mask: (H, W) bool/uint8. Returns
+    (labels int32 (H, W) with 0 = background, n_components)."""
+    m = np.ascontiguousarray(mask.astype(np.uint8))
+    h, w = m.shape
+    labels = np.zeros((h, w), np.int32)
+    lib = _load()
+    if lib is not None:
+        n = lib.ccl_label(
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w)
+        return labels, int(n)
+    return _ccl_numpy(m)
+
+
+def flood_fill(img: np.ndarray, seed_yx, value: int, new_val: int):
+    """In-place seeded 4-connected flood fill. Returns filled pixel count."""
+    a = np.ascontiguousarray(img.astype(np.uint8))
+    h, w = a.shape
+    lib = _load()
+    if lib is not None:
+        n = lib.flood_fill(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+            int(seed_yx[0]), int(seed_yx[1]), int(value), int(new_val))
+        img[...] = a
+        return int(n)
+    return _flood_numpy(img, seed_yx, value, new_val)
+
+
+def component_stats(labels: np.ndarray, n: int):
+    """Pixel counts + inclusive bounding boxes per component.
+    Returns (counts (n,) int64, boxes (n, 4) int32 [x0, y0, x1, y1])."""
+    lab = np.ascontiguousarray(labels.astype(np.int32))
+    h, w = lab.shape
+    counts = np.zeros((n,), np.int64)
+    boxes = np.zeros((n, 4), np.int32)
+    lib = _load()
+    if lib is not None and n > 0:
+        lib.ccl_stats(
+            lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w, n,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return counts, boxes
+    for k in range(1, n + 1):
+        ys, xs = np.nonzero(lab == k)
+        counts[k - 1] = len(ys)
+        if len(ys):
+            boxes[k - 1] = [xs.min(), ys.min(), xs.max(), ys.max()]
+    return counts, boxes
+
+
+# --- NumPy fallbacks (used when g++ is unavailable) ------------------------
+
+def _ccl_numpy(m: np.ndarray):
+    h, w = m.shape
+    labels = np.zeros((h, w), np.int32)
+    n = 0
+    for y in range(h):
+        for x in range(w):
+            if m[y, x] and labels[y, x] == 0:
+                n += 1
+                stack = [(y, x)]
+                labels[y, x] = n
+                while stack:
+                    cy, cx = stack.pop()
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        ny, nx = cy + dy, cx + dx
+                        if (0 <= ny < h and 0 <= nx < w and m[ny, nx]
+                                and labels[ny, nx] == 0):
+                            labels[ny, nx] = n
+                            stack.append((ny, nx))
+    return labels, n
+
+
+def _flood_numpy(img: np.ndarray, seed_yx, value: int, new_val: int):
+    h, w = img.shape
+    sy, sx = int(seed_yx[0]), int(seed_yx[1])
+    if not (0 <= sy < h and 0 <= sx < w) or img[sy, sx] != value \
+            or value == new_val:
+        return 0
+    stack = [(sy, sx)]
+    img[sy, sx] = new_val
+    count = 1
+    while stack:
+        cy, cx = stack.pop()
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            ny, nx = cy + dy, cx + dx
+            if 0 <= ny < h and 0 <= nx < w and img[ny, nx] == value:
+                img[ny, nx] = new_val
+                count += 1
+                stack.append((ny, nx))
+    return count

@@ -25,6 +25,7 @@ INF = jnp.float32(1e9)
 
 def _minplus_1d(d0: jnp.ndarray, axis: int) -> jnp.ndarray:
     """min_j (d0[j] + |i-j|) along `axis`."""
+    axis = axis % d0.ndim  # associative_scan(reverse=) needs a positive axis
     n = d0.shape[axis]
     shape = [1] * d0.ndim
     shape[axis] = n

@@ -1,0 +1,154 @@
+"""Dynamic-programming optimal seam finder.
+
+TPU-native reconstruction of the reference's DpSeamFinder
+(ref 动态规划....cpp): per-pixel color (or color/gradient) costs over the
+overlap (computeCosts :733-805, diffL2Square3 :713-720, COLOR_GRAD division
+by Σ|grad|+1 :783-793) and a minimal-cost path found by dynamic programming
+over rows with the 3-predecessor band (estimateSeam :806-959).
+
+The reference's DP is a sequential per-pixel double loop with control/
+reachable bookkeeping; here each DP step processes a whole row vectorized
+(VPU) inside one lax.scan — H steps of O(W) work — and the backtrack is a
+second scan over the stored argmin decisions. The component/conflict-
+resolution machinery of the reference (findComponents/resolveConflicts,
+:196-548) exists to handle multi-region overlaps; for the rotation-panorama
+overlaps this framework produces (single convex-ish overlap band per pair),
+the path formulation with ±BIG guards is equivalent and fully parallel.
+
+Also provides the seam-anchored linear ramp weights of the reference's
+custom blender (图像融合.cpp:483-572) for blend.ramp.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from imagestitch_tpu.ops.image import sobel, rgb_to_gray
+
+BIG = jnp.float32(1e9)
+
+
+def seam_costs(img1: jnp.ndarray, img2: jnp.ndarray, both: jnp.ndarray,
+               use_grad: bool = False) -> jnp.ndarray:
+    """Per-pixel seam cost over the overlap (ref computeCosts :733-805).
+
+    COLOR: squared L2 color difference. COLOR_GRAD: the same divided by
+    (|grad1| + |grad2| + 1). Outside the overlap: BIG.
+    """
+    d = img1.astype(jnp.float32) - img2.astype(jnp.float32)
+    e = jnp.sum(d * d, axis=-1) if d.ndim == 3 else d * d
+    if use_grad:
+        def gmag(im):
+            g = rgb_to_gray(im) if im.ndim == 3 else im
+            gx = sobel(g, 1, 0)
+            gy = sobel(g, 0, 1)
+            return jnp.abs(gx) + jnp.abs(gy)
+        e = e / (gmag(img1) + gmag(img2) + 1.0)
+    return jnp.where(both, e, BIG)
+
+
+def dp_seam_path(cost: jnp.ndarray) -> jnp.ndarray:
+    """Min-cost top-to-bottom path through a (H, W) cost map, one column per
+    row, moves in {-1, 0, +1} (the 3-predecessor DP of ref estimateSeam
+    :846-916). Rows whose cost is all-BIG (no overlap) are free (cost 0).
+
+    Returns seam column per row, (H,) int32.
+    """
+    H, W = cost.shape
+    row_has = jnp.any(cost < BIG, axis=1)
+    e = jnp.where(row_has[:, None], cost, 0.0)
+
+    def shift(x, s):
+        return jnp.roll(x, s).at[(0 if s > 0 else -1)].set(BIG)
+
+    def fwd(carry, e_row):
+        left = shift(carry, 1)
+        right = shift(carry, -1)
+        stacked = jnp.stack([left, carry, right])          # (3, W)
+        choice = jnp.argmin(stacked, axis=0)                # 0/1/2
+        m = e_row + jnp.min(stacked, axis=0)
+        m = jnp.minimum(m, BIG)                             # avoid overflow
+        return m, (m, choice.astype(jnp.int8))
+
+    init = e[0]
+    _, (M, choices) = lax.scan(fwd, init, e[1:])
+    # choices[r] maps row r+1 -> predecessor offset (choice-1) in row r
+
+    last = jnp.argmin(M[-1] if H > 1 else init)
+
+    def back(col, ch_row):
+        off = ch_row[col].astype(jnp.int32) - 1
+        prev = jnp.clip(col + off, 0, W - 1)
+        return prev, col
+
+    first_col, cols_rev = lax.scan(back, last, choices, reverse=True)
+    seam = jnp.concatenate([first_col[None], cols_rev])
+    return seam.astype(jnp.int32)
+
+
+def dp_seam_pair(img1: jnp.ndarray, img2: jnp.ndarray,
+                 mask1: jnp.ndarray, mask2: jnp.ndarray,
+                 use_grad: bool = False):
+    """Find the optimal vertical seam between two shared-frame images and
+    split their masks along it (ref find/process :87-195 +
+    updateLabelsUsingSeam :960-1093, reduced to the path split).
+
+    The image whose mask centroid lies left keeps the left side (computed
+    dynamically, so the caller need not order the pair). For vertically-
+    arranged pairs, transpose inputs first.
+
+    Returns (mask1', mask2', seam_cols (H,) int32).
+    """
+    H, W = mask1.shape
+    both = mask1 & mask2
+    cost = seam_costs(img1, img2, both, use_grad)
+    seam = dp_seam_path(cost)
+
+    xs = jnp.arange(W, dtype=jnp.float32)
+    m1f = mask1.astype(jnp.float32)
+    m2f = mask2.astype(jnp.float32)
+    cx1 = jnp.sum(m1f * xs[None, :]) / jnp.maximum(jnp.sum(m1f), 1.0)
+    cx2 = jnp.sum(m2f * xs[None, :]) / jnp.maximum(jnp.sum(m2f), 1.0)
+    one_is_left = cx1 <= cx2
+
+    col = jnp.arange(W)[None, :]
+    left_of = col <= seam[:, None]
+    keep1 = jnp.where(one_is_left, left_of, ~left_of)
+    m1 = mask1 & (~both | keep1)
+    m2 = mask2 & (~both | ~keep1)
+    return m1, m2, seam
+
+
+def overlap_extents(both: jnp.ndarray):
+    """Per-row overlap [left, right] column extents (W-1 defaults when the
+    row has no overlap). both: (H, W) bool."""
+    W = both.shape[1]
+    col = jnp.arange(W)
+    left = jnp.min(jnp.where(both, col[None, :], W), axis=1)
+    right = jnp.max(jnp.where(both, col[None, :], -1), axis=1)
+    has = jnp.any(both, axis=1)
+    return jnp.where(has, left, 0), jnp.where(has, right, W - 1), has
+
+
+def ramp_weights(both: jnp.ndarray, seam: jnp.ndarray):
+    """Seam-anchored piecewise-linear blend weights for the LEFT image over
+    the overlap (ref 图像融合.cpp:483-572): weight falls from 1 at the left
+    overlap edge through 0.5 AT the seam to 0 at the right edge:
+
+      x <= seam: 1 − 0.5·(x − left)/(seam − left)
+      x >  seam:     0.5·(right − x)/(right − seam)
+
+    Returns (H, W) float32 weights (only meaningful where `both`).
+    """
+    H, W = both.shape
+    left, right, has = overlap_extents(both)
+    x = jnp.arange(W, dtype=jnp.float32)[None, :]
+    l = left.astype(jnp.float32)[:, None]
+    r = right.astype(jnp.float32)[:, None]
+    s = seam.astype(jnp.float32)[:, None]
+    wl = 1.0 - 0.5 * (x - l) / jnp.maximum(s - l, 1.0)
+    wr = 0.5 * (r - x) / jnp.maximum(r - s, 1.0)
+    w = jnp.where(x <= s, wl, wr)
+    return jnp.clip(w, 0.0, 1.0)

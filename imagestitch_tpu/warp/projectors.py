@@ -22,11 +22,15 @@ PI = jnp.pi
 
 
 def _camera_mats(K: jnp.ndarray, R: jnp.ndarray):
-    """r_kinv = R·K⁻¹ (forward), k_rinv = K·Rᵀ (backward), as the reference
-    precomputes in setCameraParams (ref :90-119)."""
+    """r_kinv = R·K⁻¹ (forward), k_rinv = K·R⁻¹ (backward), as the reference
+    precomputes in setCameraParams (ref :90-119). The reference uses Rᵀ for
+    the backward path, which assumes R is a true rotation; chained-homography
+    cameras (e.g. a translation-model pair without bundle adjustment) yield
+    non-orthogonal R, so the general inverse is used — identical for real
+    rotations, correct for the rest."""
     Kinv = jnp.linalg.inv(K.astype(jnp.float32))
     r_kinv = R.astype(jnp.float32) @ Kinv
-    k_rinv = K.astype(jnp.float32) @ R.astype(jnp.float32).T
+    k_rinv = K.astype(jnp.float32) @ jnp.linalg.inv(R.astype(jnp.float32))
     return r_kinv, k_rinv
 
 

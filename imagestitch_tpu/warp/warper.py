@@ -44,11 +44,21 @@ def _roi_bounds(proj, src_h: int, src_w: int, samples: int = 64):
     return jnp.min(u), jnp.min(v), jnp.max(u), jnp.max(v)
 
 
+def roi_bounds(K: jnp.ndarray, R: jnp.ndarray, scale, src_hw: tuple[int, int],
+               kind: str = "cylindrical"):
+    """Projected-ROI bounds (u0, v0, u1, v1) of a source image — the
+    analytic replacement for the reference's brute-force detectResultRoi
+    (ref :64-88). Used by the pipeline to size/place the shared pano frame."""
+    proj = PROJECTORS[kind](K, R, scale)
+    return _roi_bounds(proj, src_hw[0], src_hw[1])
+
+
 def warp_image(img: jnp.ndarray, K: jnp.ndarray, R: jnp.ndarray,
                scale, canvas_hw: tuple[int, int],
                kind: str = "cylindrical",
                mask: jnp.ndarray | None = None,
-               interp: str = "linear") -> WarpResult:
+               interp: str = "linear",
+               corner: jnp.ndarray | None = None) -> WarpResult:
     """Warp a source image (H, W[, C]) onto the projection surface.
 
     Equivalent of ref warp() (:145-160): builds the backward map over the
@@ -62,7 +72,10 @@ def warp_image(img: jnp.ndarray, K: jnp.ndarray, R: jnp.ndarray,
     proj = PROJECTORS[kind](K, R, scale)
 
     u0, v0, u1, v1 = _roi_bounds(proj, H, W)
-    corner = jnp.stack([jnp.floor(u0), jnp.floor(v0)]).astype(jnp.int32)
+    if corner is None:
+        corner = jnp.stack([jnp.floor(u0), jnp.floor(v0)]).astype(jnp.int32)
+    else:
+        corner = corner.astype(jnp.int32)
     size_w = (jnp.ceil(u1) - jnp.floor(u0) + 1).astype(jnp.int32)
     size_h = (jnp.ceil(v1) - jnp.floor(v0) + 1).astype(jnp.int32)
     size = jnp.stack([jnp.minimum(size_w, Wc), jnp.minimum(size_h, Hc)])
@@ -74,7 +87,11 @@ def warp_image(img: jnp.ndarray, K: jnp.ndarray, R: jnp.ndarray,
     dyg = jnp.broadcast_to(dy, (Hc, Wc))
 
     xm, ym, ray_ok = proj.backward(dxg, dyg)
-    in_roi = ((dxg <= u1 + 1.0) & (dyg <= v1 + 1.0))
+    # bound on all four sides: the angular projections are periodic, so a
+    # shared-frame canvas larger than this image's ROI could otherwise alias
+    # a 2π-wrapped copy of the image
+    in_roi = ((dxg >= u0 - 1.0) & (dxg <= u1 + 1.0)
+              & (dyg >= v0 - 1.0) & (dyg <= v1 + 1.0))
 
     if mask is None:
         mask = jnp.ones((H, W), jnp.float32)

@@ -1,0 +1,110 @@
+"""End-to-end pipeline tests on synthetic scenes with known geometry."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from imagestitch_tpu import PipelineConfig, stitch, stitch_pair
+from imagestitch_tpu.config import (
+    DetectorConfig, MatcherConfig, RansacConfig, BlendConfig, SeamConfig,
+    CameraConfig, WarpConfig,
+)
+from imagestitch_tpu.utils.io import synthetic_pair, synthetic_sequence
+
+FAST_CFG = PipelineConfig(
+    detector=DetectorConfig(nfeatures=256, max_keypoints=768),
+    matcher=MatcherConfig(max_matches=256),
+    ransac=RansacConfig(num_hypotheses=512),
+    camera=CameraConfig(ba_iters=10),
+)
+
+
+def seam_region_error(pano, scene, valid):
+    """Mean abs diff between pano and the true underlying scene where valid
+    (requires pano aligned to scene; caller handles alignment)."""
+    m = valid & (np.arange(pano.shape[1])[None, :] < scene.shape[1])
+    a = pano[:, :scene.shape[1]].astype(np.float32)
+    return np.abs(a - scene[:pano.shape[0], :pano.shape[1]]).mean()
+
+
+def test_stitch_pair_translation_scene():
+    img1, img2, shift = synthetic_pair(240, 320, overlap=0.5, seed=21)
+    pano, metrics = stitch_pair(img1, img2, FAST_CFG)
+    assert metrics["h_valid"]
+    assert metrics["num_inliers"] > 20
+    # pano must be wider than either input and roughly W + shift wide
+    assert pano.shape[1] > 320
+    assert abs(pano.shape[1] - (320 + shift)) < 60  # cylindrical shrinks a bit
+    assert pano.shape[0] >= 200
+    assert pano.dtype == np.uint8
+    # interior is non-trivial
+    assert pano.std() > 20
+
+
+@pytest.mark.parametrize("blend_kind", ["feather", "multiband", "ramp", "none"])
+def test_stitch_pair_all_blenders(blend_kind):
+    img1, img2, shift = synthetic_pair(192, 256, overlap=0.5, seed=22)
+    cfg = FAST_CFG.replace(blend=BlendConfig(kind=blend_kind, num_bands=3))
+    pano, metrics = stitch_pair(img1, img2, cfg)
+    assert metrics["h_valid"]
+    assert pano.shape[1] > 256
+
+
+@pytest.mark.parametrize("seam_kind", ["dp_color", "dp_colorgrad", "voronoi",
+                                       "none"])
+def test_stitch_pair_all_seams(seam_kind):
+    img1, img2, shift = synthetic_pair(192, 256, overlap=0.5, seed=23)
+    cfg = FAST_CFG.replace(seam=SeamConfig(kind=seam_kind))
+    pano, metrics = stitch_pair(img1, img2, cfg)
+    assert metrics["h_valid"]
+    assert pano.shape[1] > 256
+
+
+def test_stitch_pair_plane_warp_reconstructs_scene():
+    """With plane warp + pure translation the pano should reproduce the
+    underlying wide scene almost exactly."""
+    from imagestitch_tpu.utils.io import _render_scene
+    H, W, overlap = 240, 320, 0.5
+    img1, img2, shift = synthetic_pair(H, W, overlap=overlap, seed=24)
+    scene = _render_scene(H, W + shift, 24)
+    cfg = FAST_CFG.replace(warp=WarpConfig(kind="plane", canvas_scale_w=2.5,
+                                           canvas_scale_h=1.5),
+                           camera=CameraConfig(ba_refine=False))
+    pano, metrics = stitch_pair(img1, img2, cfg)
+    assert metrics["h_valid"]
+    # plane warp of a translation-only pair: canvas = scene size
+    assert abs(pano.shape[1] - (W + shift)) <= 3
+    assert abs(pano.shape[0] - H) <= 3
+    h = min(pano.shape[0], H)
+    w = min(pano.shape[1], W + shift)
+    err = np.abs(pano[:h, :w].astype(np.float32)
+                 - scene[:h, :w].astype(np.float32)).mean()
+    assert err < 8.0
+
+
+def test_stitch_deterministic():
+    img1, img2, _ = synthetic_pair(192, 256, overlap=0.5, seed=25)
+    p1, m1 = stitch_pair(img1, img2, FAST_CFG, seed=7)
+    p2, m2 = stitch_pair(img1, img2, FAST_CFG, seed=7)
+    assert np.array_equal(p1, p2)
+
+
+def test_stitch_multi_image_sequence():
+    views, shift = synthetic_sequence(4, 192, 256, overlap=0.5, seed=26)
+    cfg = FAST_CFG.replace(warp=WarpConfig(kind="plane", canvas_scale_w=1.8,
+                                           canvas_scale_h=1.4),
+                           camera=CameraConfig(ba_refine=False))
+    pano, metrics = stitch(views, cfg)
+    assert metrics["n_images"] == 4
+    # pano should cover ~ W + 3*shift
+    assert pano.shape[1] > 256 + 2 * shift
+    assert pano.std() > 20
+
+
+def test_stitch_unrelated_images_flagged():
+    img1, _, _ = synthetic_pair(192, 256, seed=30)
+    img2, _, _ = synthetic_pair(192, 256, seed=31)
+    pano, metrics = stitch_pair(img1, img2, FAST_CFG)
+    # must not crash; low confidence signals failure
+    assert metrics["confidence"] < 1.0 or metrics["num_inliers"] < 20

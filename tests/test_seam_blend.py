@@ -1,0 +1,191 @@
+"""Seam finder + blender + exposure tests: DT correctness vs brute force,
+DP seam avoids differing content, partition of unity, gain solve."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from imagestitch_tpu.seam import (
+    l1_distance_transform, voronoi_seam_pair, dp_seam_pair, dp_seam_path,
+    ramp_weights, overlap_extents,
+)
+from imagestitch_tpu.blend import (
+    shift_to_frame, feather_blend, feather_weights, multiband_blend,
+    ramp_blend_pair,
+)
+from imagestitch_tpu.exposure import gain_compensate
+
+
+def test_l1_dt_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    mask = rng.uniform(size=(24, 30)) > 0.4
+    d = np.asarray(l1_distance_transform(jnp.asarray(mask)))
+    ys, xs = np.nonzero(~mask)
+    ref = np.zeros_like(d)
+    for i in range(24):
+        for j in range(30):
+            if mask[i, j]:
+                ref[i, j] = np.min(np.abs(ys - i) + np.abs(xs - j))
+    assert np.array_equal(d, ref)
+
+
+def test_l1_dt_all_mask():
+    d = np.asarray(l1_distance_transform(jnp.ones((8, 8), bool)))
+    assert (d >= 1e8).all()  # no background: huge distances, no crash
+
+
+def test_voronoi_partition():
+    # two overlapping rectangles
+    m1 = np.zeros((32, 48), bool)
+    m2 = np.zeros((32, 48), bool)
+    m1[:, :30] = True
+    m2[:, 18:] = True
+    o1, o2 = voronoi_seam_pair(jnp.asarray(m1), jnp.asarray(m2))
+    o1, o2 = np.asarray(o1), np.asarray(o2)
+    assert not (o1 & o2).any()          # disjoint
+    assert (o1 | o2).sum() == (m1 | m2).sum()  # no pixel lost
+    # seam roughly in the middle of the overlap (24)
+    assert o1[:, :20].all() and o2[:, 28:].all()
+
+
+def test_dp_seam_follows_cheap_column():
+    """Construct an overlap where only column 10 has zero cost — the seam
+    must run down that column."""
+    H, W = 24, 32
+    m1 = np.zeros((H, W), bool)
+    m2 = np.zeros((H, W), bool)
+    m1[:, :20] = True
+    m2[:, 5:] = True
+    img1 = np.zeros((H, W, 3), np.float32)
+    img2 = np.full((H, W, 3), 50.0, np.float32)
+    img2[:, 10] = 0.0  # agree at column 10
+    s1, s2, seam = dp_seam_pair(jnp.asarray(img1), jnp.asarray(img2),
+                                jnp.asarray(m1), jnp.asarray(m2))
+    seam = np.asarray(seam)
+    assert (seam == 10).all()
+    s1, s2 = np.asarray(s1), np.asarray(s2)
+    assert not (s1 & s2).any()
+    assert (s1 | s2).sum() == (m1 | m2).sum()
+    # left image keeps left of the seam
+    assert s1[:, :10].all()
+    assert s2[:, 11:].all()
+
+
+def test_dp_seam_path_diagonal():
+    """Cost ridge forces a diagonal path; moves are limited to +-1/row."""
+    H, W = 16, 16
+    cost = np.full((H, W), 100.0, np.float32)
+    for r in range(H):
+        cost[r, min(r, W - 1)] = 0.0
+    seam = np.asarray(dp_seam_path(jnp.asarray(cost)))
+    assert seam[0] == 0 and seam[-1] == 15
+    assert np.all(np.abs(np.diff(seam)) <= 1)
+    assert np.array_equal(seam, np.arange(16))
+
+
+def test_ramp_weights_hit_half_at_seam():
+    H, W = 8, 32
+    both = np.zeros((H, W), bool)
+    both[:, 8:25] = True
+    seam = np.full(H, 16, np.int32)
+    w = np.asarray(ramp_weights(jnp.asarray(both), jnp.asarray(seam)))
+    assert np.allclose(w[:, 16], 0.5, atol=0.04)
+    assert (w[:, 8] > 0.9).all()       # near 1 at left overlap edge
+    assert (w[:, 24] < 0.1).all()      # near 0 at right edge
+    # monotone decreasing across the overlap
+    assert np.all(np.diff(w[0, 8:25]) <= 1e-6)
+
+
+def test_feather_blend_partition_of_unity():
+    rng = np.random.default_rng(1)
+    imgs = rng.uniform(0, 255, (2, 32, 48, 3)).astype(np.float32)
+    m1 = np.zeros((32, 48), bool)
+    m2 = np.zeros((32, 48), bool)
+    m1[:, :30] = True
+    m2[:, 18:] = True
+    out, valid = feather_blend(jnp.asarray(imgs),
+                               jnp.asarray(np.stack([m1, m2])), 0.2)
+    out, valid = np.asarray(out), np.asarray(valid)
+    assert valid.sum() == (m1 | m2).sum()
+    # blended values stay within the convex hull of inputs
+    lo = np.minimum(imgs[0], imgs[1])
+    hi = np.maximum(imgs[0], imgs[1])
+    bothm = m1 & m2
+    assert (out[bothm] >= lo[bothm] - 1e-2).all()
+    assert (out[bothm] <= hi[bothm] + 1e-2).all()
+    # exclusive regions pass through (interior, away from the DT taper)
+    assert np.allclose(out[:, :10], imgs[0][:, :10], atol=1e-3)
+    assert np.allclose(out[:, 38:], imgs[1][:, 38:], atol=1e-3)
+
+
+def test_feather_weights_shape():
+    m = np.zeros((16, 16), bool)
+    m[4:12, 4:12] = True
+    w = np.asarray(feather_weights(jnp.asarray(m), 0.5))
+    assert w[8, 8] == 1.0      # deep interior saturates at 1
+    assert w[4, 4] == 0.5      # border pixel: dist 1 * 0.5
+    assert (w[~m] == 0).all()
+
+
+def test_multiband_blend_smooth_and_identity():
+    """Constant identical images blend to the same constant; output valid
+    union matches."""
+    imgs = np.full((2, 64, 96, 3), 100.0, np.float32)
+    m1 = np.zeros((64, 96), bool)
+    m2 = np.zeros((64, 96), bool)
+    m1[:, :60] = True
+    m2[:, 36:] = True
+    out, valid = multiband_blend(jnp.asarray(imgs),
+                                 jnp.asarray(np.stack([m1, m2])), 3)
+    out = np.asarray(out)
+    assert np.asarray(valid).sum() == (m1 | m2).sum()
+    assert np.allclose(out[np.asarray(valid)], 100.0, atol=1.0)
+
+
+def test_ramp_blend_pair_composite():
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 255, (32, 64, 3)).astype(np.float32)
+    m1 = np.zeros((32, 64), bool)
+    m2 = np.zeros((32, 64), bool)
+    m1[:, :40] = True
+    m2[:, 24:] = True
+    # identical content in overlap -> blend reproduces it exactly
+    out, valid, seam = ramp_blend_pair(jnp.asarray(img), jnp.asarray(img),
+                                       jnp.asarray(m1), jnp.asarray(m2))
+    out = np.asarray(out)
+    assert np.allclose(out[np.asarray(valid)],
+                       img[np.asarray(valid)], atol=0.5)
+
+
+def test_shift_to_frame_translation():
+    img = np.arange(12, dtype=np.float32).reshape(3, 4)
+    out = shift_to_frame(jnp.asarray(img), jnp.asarray([2, 1]),
+                         jnp.asarray([0, 0]), (5, 8))
+    out = np.asarray(out)
+    assert np.array_equal(out[1:4, 2:6], img)
+    assert out[0].sum() == 0
+
+
+def test_gain_compensation_recovers_exposure():
+    """Image 2 is image 1 * 0.5 in the overlap; gains should brighten 2 /
+    darken 1 so that g1*I1 ~ g2*I2."""
+    rng = np.random.default_rng(3)
+    base = rng.uniform(50, 200, (32, 48, 3)).astype(np.float32)
+    img1 = base.copy()
+    img2 = base * 0.5
+    m1 = np.zeros((32, 48), bool)
+    m2 = np.zeros((32, 48), bool)
+    m1[:, :32] = True
+    m2[:, 16:] = True
+    corners = jnp.asarray([[0, 0], [0, 0]], jnp.int32)
+    gains, out = gain_compensate(jnp.asarray(np.stack([img1, img2])),
+                                 jnp.asarray(np.stack([m1, m2])), corners)
+    g = np.asarray(gains)
+    assert g[1] > g[0]                      # darker image gets larger gain
+    # compensated means converge strongly (the beta=100 unity prior keeps
+    # them from matching exactly — same behavior as OpenCV's constants)
+    o = np.asarray(out)
+    both = m1 & m2
+    diff_before = abs(img1[both].mean() - img2[both].mean())
+    diff_after = abs(o[0][both].mean() - o[1][both].mean())
+    assert diff_after < diff_before / 3.0
