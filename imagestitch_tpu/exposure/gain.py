@@ -23,12 +23,23 @@ from imagestitch_tpu.blend.frame import shift_to_frame
 from imagestitch_tpu.ops.image import rgb_to_gray
 
 
-def _pair_stats(img_i, mask_i, corner_i, img_j, mask_j, corner_j):
+def _pair_stats(img_i, mask_i, corner_i, img_j, mask_j, corner_j,
+                shared_frame: bool = False):
     """N_ij (overlap area) and mean intensities Ī_ij, Ī_ji over the overlap,
-    computed in image i's frame."""
-    hw = mask_i.shape
-    mj = shift_to_frame(mask_j.astype(jnp.float32), corner_j, corner_i, hw)
-    ij = shift_to_frame(img_j, corner_j, corner_i, hw)
+    computed in image i's frame.
+
+    shared_frame=True skips the frame-alignment gathers (all canvases share
+    one origin — the jitted pipeline's layout); the generic path re-gathers
+    image j into i's frame and costs two full-canvas gathers per pair.
+    """
+    if shared_frame:
+        mj = mask_j.astype(jnp.float32)
+        ij = img_j
+    else:
+        hw = mask_i.shape
+        mj = shift_to_frame(mask_j.astype(jnp.float32), corner_j, corner_i,
+                            hw)
+        ij = shift_to_frame(img_j, corner_j, corner_i, hw)
     both = mask_i.astype(jnp.float32) * mj
     n = jnp.sum(both)
     gi = rgb_to_gray(img_i) if img_i.ndim == 3 else img_i
@@ -39,7 +50,7 @@ def _pair_stats(img_i, mask_i, corner_i, img_j, mask_j, corner_j):
 
 def gain_compensate(images: jnp.ndarray, masks: jnp.ndarray,
                     corners: jnp.ndarray, alpha: float = 0.01,
-                    beta: float = 100.0):
+                    beta: float = 100.0, shared_frame: bool = False):
     """Per-image gains from batched warped canvases.
 
     images: (N, H, W, C) float32; masks: (N, H, W) bool; corners: (N, 2)
@@ -60,7 +71,7 @@ def gain_compensate(images: jnp.ndarray, masks: jnp.ndarray,
 
     def one(i, j):
         return _pair_stats(images[i], masks[i], corners[i],
-                           images[j], masks[j], corners[j])
+                           images[j], masks[j], corners[j], shared_frame)
 
     n_p, Iij, Iji = jax.vmap(one)(ii, jj)   # (P,) each, P = N(N-1)
 

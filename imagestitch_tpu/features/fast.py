@@ -79,9 +79,13 @@ def harris_map(img: jnp.ndarray, block_size: int = 7,
     Iy = 0.5 * (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0)) * 2.0
 
     def box(x):
+        # separable: row then column pass (2·b instead of b² adds per pixel)
+        x = lax.reduce_window(
+            x, 0.0, lax.add, (block_size, 1), (1, 1),
+            [(block_size // 2, block_size // 2), (0, 0)])
         return lax.reduce_window(
-            x, 0.0, lax.add, (block_size, block_size), (1, 1),
-            [(block_size // 2, block_size // 2)] * 2)
+            x, 0.0, lax.add, (1, block_size), (1, 1),
+            [(0, 0), (block_size // 2, block_size // 2)])
 
     a = box(Ix * Ix)
     b = box(Iy * Iy)

@@ -102,8 +102,12 @@ def bundle_adjust_ray(cameras: CameraParams,
 
     jac = jax.jacfwd(residuals)
 
-    def body(_, state):
-        x, lam, err = state
+    def cond(state):
+        i, x, lam, err, done = state
+        return (i < iters) & jnp.logical_not(done)
+
+    def body(state):
+        i, x, lam, err, _ = state
         r = residuals(x)
         J = jac(x)                                                # (M, 4N)
         A = J.T @ J
@@ -114,12 +118,18 @@ def bundle_adjust_ray(cameras: CameraParams,
         x_try = x - dx
         e_try = err_of(x_try)
         accept = e_try < err
-        return (jnp.where(accept, x_try, x),
+        # converged: an accepted step improved the error by < 1e-6 relative,
+        # or damping has blown up (no direction helps)
+        done = (accept & (err - e_try < 1e-6 * (err + 1e-20))) | (lam > 1e8)
+        return (i + 1,
+                jnp.where(accept, x_try, x),
                 jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e10),
-                jnp.where(accept, e_try, err))
+                jnp.where(accept, e_try, err),
+                done)
 
-    xf, _, _ = lax.fori_loop(0, iters, body, (x0, jnp.float32(1e-3),
-                                              err_of(x0)))
+    _, xf, _, _, _ = lax.while_loop(
+        cond, body,
+        (jnp.int32(0), x0, jnp.float32(1e-3), err_of(x0), jnp.bool_(False)))
     pf = xf.reshape(N, 4)
     Rf = jax.vmap(rodrigues_to_R)(pf[:, 1:4])
     # Gauge fix: the ray residuals are invariant under a global rotation, so

@@ -107,30 +107,63 @@ def dlt_homography(src: jnp.ndarray, dst: jnp.ndarray,
     return H.astype(jnp.float32), ok
 
 
-def solve_h4p(src4: jnp.ndarray, dst4: jnp.ndarray):
-    """Exact homography from 4 correspondences via an 8x8 linear solve.
+def _adjugate3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate of a 3x3 (adj(M) @ M = det(M)·I)."""
+    a, b, c = M[0, 0], M[0, 1], M[0, 2]
+    d, e, f = M[1, 0], M[1, 1], M[1, 2]
+    g, h, i = M[2, 0], M[2, 1], M[2, 2]
+    return jnp.array([
+        [e * i - f * h, c * h - b * i, b * f - c * e],
+        [f * g - d * i, a * i - c * g, c * d - a * f],
+        [d * h - e * g, b * g - a * h, a * e - b * d],
+    ])
 
-    The minimal-sample kernel of the RANSAC engine — vmapped over thousands of
-    hypotheses so XLA batches the LU factorizations (replacing the reference's
-    sequential per-iteration runKernel calls; ref run() :139-248).
+
+def _basis_to_quad(q: jnp.ndarray) -> jnp.ndarray:
+    """3x3 M mapping the projective basis (e1, e2, e3, [1,1,1]) to the four
+    points q (4, 2): columns are the first three homogeneous points scaled so
+    their sum is the fourth."""
+    P = jnp.stack([jnp.append(q[0], 1.0), jnp.append(q[1], 1.0),
+                   jnp.append(q[2], 1.0)], axis=1)        # (3, 3) columns
+    p4 = jnp.append(q[3], 1.0)
+    lam = _adjugate3(P) @ p4                               # solve P·λ = det·p4
+    return P * lam[None, :]
+
+
+def solve_h4p(src4: jnp.ndarray, dst4: jnp.ndarray):
+    """Exact homography from 4 correspondences, fully closed-form.
+
+    The minimal-sample kernel of the RANSAC engine (replacing the reference's
+    per-iteration runKernel, ref run() :139-248). Instead of an 8x8 LU solve
+    (batched LAPACK-style solves are slow on TPU), use the projective-basis
+    construction: H = M_dst · adj(M_src), where M maps the projective basis
+    to the quadrilateral — nothing but 3x3 determinant arithmetic, so 2048
+    vmapped hypotheses are pure fused VPU work.
 
     src4, dst4: (4, 2). Returns (H, ok).
     """
-    x, y = src4[:, 0], src4[:, 1]
-    X, Y = dst4[:, 0], dst4[:, 1]
-    zeros = jnp.zeros_like(x)
-    ones = jnp.ones_like(x)
-    rows_x = jnp.stack([x, y, ones, zeros, zeros, zeros, -x * X, -y * X], 1)
-    rows_y = jnp.stack([zeros, zeros, zeros, x, y, ones, -x * Y, -y * Y], 1)
-    A = jnp.concatenate([rows_x, rows_y], axis=0)       # (8, 8)
-    b = jnp.concatenate([X, Y], axis=0)                 # (8,)
+    # normalize each quad to O(1) coordinates first: the basis construction
+    # multiplies three levels of 3x3 products, which overflows float32 for
+    # pixel-scale inputs and costs precision regardless
+    def norm_T(q):
+        c = jnp.mean(q, axis=0)
+        s = 1.0 / jnp.maximum(jnp.mean(jnp.abs(q - c)), 1e-12)
+        T = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+        T = T.at[0, 0].set(s).at[1, 1].set(s)
+        T = T.at[0, 2].set(-c[0] * s).at[1, 2].set(-c[1] * s)
+        return (q - c) * s, T
 
-    # scale rows for conditioning (points can be far from origin)
-    h = jnp.linalg.solve(A, b)
-    ok = jnp.all(jnp.isfinite(h))
-    h = jnp.where(ok, h, jnp.zeros_like(h))
-    H = jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
-    H = jnp.where(ok, H, jnp.eye(3, dtype=h.dtype))
+    src_n, Tsrc = norm_T(src4)
+    dst_n, Tdst = norm_T(dst4)
+    Ms = _basis_to_quad(src_n)
+    Md = _basis_to_quad(dst_n)
+    Hn = Md @ _adjugate3(Ms)                               # Md · Ms⁻¹ · det
+    invTdst = _adjugate3(Tdst)                             # affine: adj ∝ inv
+    H = invTdst @ Hn @ Tsrc
+    scale = H[2, 2]
+    ok = jnp.all(jnp.isfinite(H)) & (jnp.abs(scale) > 1e-20)
+    H = H / jnp.where(ok, scale, 1.0)
+    H = jnp.where(ok, H, jnp.eye(3, dtype=H.dtype))
     return H.astype(jnp.float32), ok
 
 

@@ -166,7 +166,10 @@ def remap_nearest(img: jnp.ndarray, xmap: jnp.ndarray, ymap: jnp.ndarray,
 
 
 def _morph(img: jnp.ndarray, ksize: tuple[int, int], op: str) -> jnp.ndarray:
-    """Rectangular-kernel morphology via reduce_window (VPU-friendly)."""
+    """Rectangular-kernel morphology, SEPARABLE: max/min over a kh x kw rect
+    = row pass then column pass (kh + kw window elements per pixel instead
+    of kh*kw — a 20x20 dilate is 10x cheaper; XLA does not do this rewrite
+    itself and the naive 400-element window dominated whole-pipeline time)."""
     kh, kw = ksize
     init = -jnp.inf if op == "max" else jnp.inf
     fn = lax.max if op == "max" else lax.min
@@ -174,12 +177,13 @@ def _morph(img: jnp.ndarray, ksize: tuple[int, int], op: str) -> jnp.ndarray:
     squeeze = x.ndim == 2
     if squeeze:
         x = x[..., None]
-    out = lax.reduce_window(
-        x, init, fn,
-        window_dimensions=(kh, kw, 1),
-        window_strides=(1, 1, 1),
-        padding=((kh // 2, (kh - 1) // 2), (kw // 2, (kw - 1) // 2), (0, 0)))
-    return out[..., 0] if squeeze else out
+    x = lax.reduce_window(
+        x, init, fn, (kh, 1, 1), (1, 1, 1),
+        ((kh // 2, (kh - 1) // 2), (0, 0), (0, 0)))
+    x = lax.reduce_window(
+        x, init, fn, (1, kw, 1), (1, 1, 1),
+        ((0, 0), (kw // 2, (kw - 1) // 2), (0, 0)))
+    return x[..., 0] if squeeze else x
 
 
 def dilate(img: jnp.ndarray, ksize: tuple[int, int] = (3, 3)) -> jnp.ndarray:

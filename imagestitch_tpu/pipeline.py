@@ -95,9 +95,20 @@ def _seam_and_blend(images: jnp.ndarray, masks: jnp.ndarray,
 def _warp_all_shared(images: jnp.ndarray, cams: CameraParams, scale,
                      canvas_hw: tuple[int, int], cfg: PipelineConfig):
     """Warp N images into one shared pano frame whose corner is the union of
-    all per-image ROI corners. Returns (warped (N,Hc,Wc,C), masks, corner)."""
+    all per-image ROI corners. Returns (warped (N,Hc,Wc,C), masks, corner).
+
+    Each image warps into its OWN static canvas sized to a single image's
+    ROI capacity (the backward map + gather are the hot ops — running them
+    over the whole multi-image pano frame would multiply that work by the
+    pano/image width ratio) and is then pasted into the pano frame with a
+    dynamic_update_slice (a contiguous copy).
+    """
     n = images.shape[0]
     H, W = images.shape[1:3]
+    Hc, Wc = canvas_hw
+    # one image's warped ROI capacity (cylindrical/spherical never widen
+    # beyond ~W; vertical bulge bounded by the same canvas_scale_h as pano)
+    Wi = min(Wc, int(round(W * 1.2)))
     Ks = cams.K()
     bounds = [roi_bounds(Ks[i], cams.R[i], scale, (H, W), cfg.warp.kind)
               for i in range(n)]
@@ -105,13 +116,22 @@ def _warp_all_shared(images: jnp.ndarray, cams: CameraParams, scale,
     v0 = jnp.min(jnp.stack([b[1] for b in bounds]))
     corner = jnp.stack([jnp.floor(u0), jnp.floor(v0)]).astype(jnp.int32)
 
-    warped, masks = [], []
+    warped = jnp.zeros((n, Hc, Wc) + images.shape[3:], jnp.float32)
+    masks = jnp.zeros((n, Hc, Wc), bool)
     for i in range(n):
-        r = warp_image(images[i], Ks[i], cams.R[i], scale, canvas_hw,
-                       cfg.warp.kind, corner=corner)
-        warped.append(r.image)
-        masks.append(r.mask)
-    return jnp.stack(warped), jnp.stack(masks), corner
+        # pin this image's canvas to its own u0 but the SHARED v0, so the
+        # paste is a pure x-offset (oy == 0 exactly)
+        corner_i = jnp.stack([jnp.floor(bounds[i][0]),
+                              jnp.floor(v0)]).astype(jnp.int32)
+        r = warp_image(images[i], Ks[i], cams.R[i], scale, (Hc, Wi),
+                       cfg.warp.kind, corner=corner_i)
+        ox = jnp.clip(corner_i[0] - corner[0], 0, Wc - Wi)
+        zero = jnp.int32(0)
+        warped = warped.at[i].set(jax.lax.dynamic_update_slice(
+            warped[i], r.image, (zero, ox) + (zero,) * (r.image.ndim - 2)))
+        masks = masks.at[i].set(jax.lax.dynamic_update_slice(
+            masks[i], r.mask, (zero, ox)))
+    return warped, masks, corner
 
 
 # ---------------------------------------------------------------------------
@@ -163,8 +183,9 @@ def stitch_pair_impl(img1: jnp.ndarray, img2: jnp.ndarray, key: jax.Array,
 
     # 7. exposure compensation (ref :1114-1121)
     if cfg.exposure.kind == "gain":
-        zero_corners = jnp.zeros((2, 2), jnp.int32)  # shared frame already
-        _, warped = gain_compensate(warped, masks, zero_corners)
+        zero_corners = jnp.zeros((2, 2), jnp.int32)
+        _, warped = gain_compensate(warped, masks, zero_corners,
+                                    shared_frame=True)
 
     # 8-10. seam + mask postprocess + blend (ref :1128-1183)
     pano, valid = _seam_and_blend(warped, masks, cfg)
@@ -285,7 +306,8 @@ class Stitcher:
         with timer.stage("exposure"):
             if cfg.exposure.kind == "gain":
                 zero_corners = jnp.zeros((n, 2), jnp.int32)
-                _, warped = gain_compensate(warped, masks, zero_corners)
+                _, warped = gain_compensate(warped, masks, zero_corners,
+                                            shared_frame=True)
                 jax.block_until_ready(warped)
 
         with timer.stage("seam_blend"):
