@@ -47,7 +47,7 @@ def main(argv=None):
                                 "fisheye", "stereographic"])
         q.add_argument("--seam", default="dp_color",
                        choices=["dp_color", "dp_colorgrad", "voronoi",
-                                "none"])
+                                "graphcut", "none"])
         q.add_argument("--blend", default="feather",
                        choices=["feather", "multiband", "ramp", "none"])
         q.add_argument("--exposure", default="gain", choices=["gain", "none"])

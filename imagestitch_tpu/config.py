@@ -25,8 +25,14 @@ from dataclasses import dataclass
 
 @dataclass(frozen=True)
 class DetectorConfig:
-    """ORB detector configuration (ref 特征点检测.cpp:39-55)."""
+    """Feature detector configuration.
 
+    kind="orb" is the reference's detector (ref 特征点检测.cpp:39-55);
+    kind="sift" selects the DoG/SIFT-style float-descriptor detector
+    (BASELINE.json north star; ref README.md:14-24 cites the SIFT papers).
+    """
+
+    kind: str = "orb"             # orb | sift
     nfeatures: int = 512          # max keypoints kept per grid cell (ref: 510)
     scale_factor: float = 1.3
     nlevels: int = 5
@@ -38,6 +44,11 @@ class DetectorConfig:
     harris_block_size: int = 7
     grid_rows: int = 1            # ref grid_size = 3 cols x 1 row
     grid_cols: int = 3
+    # SIFT-path tunables (Lowe's defaults)
+    sift_octaves: int = 4
+    sift_scales: int = 3
+    sift_sigma: float = 1.6
+    sift_contrast_thresh: float = 1.0   # on 0..255 intensity DoG
     # capacity knobs (TPU static-shape design; not in the reference)
     max_keypoints: int = 1536     # total padded keypoint capacity per image
     per_level_overretain: float = 2.0  # FAST over-retention before Harris cull
@@ -109,7 +120,7 @@ class SeamConfig:
     """Seam finder configuration (ref 动态规划....cpp; GraphCut COST_COLOR used
     in most reference mains, DP/Voronoi in project 6)."""
 
-    kind: str = "dp_color"        # dp_color|dp_colorgrad|voronoi|none
+    kind: str = "dp_color"  # dp_color|dp_colorgrad|voronoi|graphcut|none
     dilate_kernel: int = 20       # ref 特征点检测.cpp:1164 (20x20 rect dilate)
 
 

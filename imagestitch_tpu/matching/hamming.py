@@ -30,3 +30,19 @@ def hamming_distance_matrix(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
     s1 = jnp.sum(d1.astype(jnp.float32), axis=1)           # (N,)
     s2 = jnp.sum(d2.astype(jnp.float32), axis=1)           # (M,)
     return s1[:, None] + s2[None, :] - 2.0 * dot
+
+
+def l2_distance_matrix(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+    """(N, M) squared-L2 distances between float descriptor sets — the SIFT
+    counterpart of the Hamming kernel: |a|² + |b|² − 2·a·bᵀ with the cross
+    term one bf16 MXU matmul (unit-normalized SIFT descriptors lose nothing
+    to bf16 at matching precision)."""
+    a = d1.astype(jnp.bfloat16)
+    b = d2.astype(jnp.bfloat16)
+    dot = lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        precision=lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
+    s1 = jnp.sum(d1.astype(jnp.float32) ** 2, axis=1)
+    s2 = jnp.sum(d2.astype(jnp.float32) ** 2, axis=1)
+    return jnp.maximum(s1[:, None] + s2[None, :] - 2.0 * dot, 0.0)

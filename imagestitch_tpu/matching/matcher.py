@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from imagestitch_tpu.config import MatcherConfig, RansacConfig
 from imagestitch_tpu.geometry.ransac import find_homography
-from imagestitch_tpu.matching.hamming import hamming_distance_matrix
+from imagestitch_tpu.matching.hamming import (
+    hamming_distance_matrix, l2_distance_matrix)
 from imagestitch_tpu.types import ImageFeatures, MatchesInfo
 
 BIG = jnp.float32(3.0e38)
@@ -30,15 +31,19 @@ BIG = jnp.float32(3.0e38)
 
 def _two_nn(D: jnp.ndarray, ratio_keep: float):
     """Row-wise 2-NN with ratio test. D: (N, M) with +inf at invalid entries.
-    Returns (best_j, best_d, keep)."""
+    Returns (best_j, best_d, keep).
+
+    Implemented as two min/argmin passes rather than jax.lax.top_k: XLA's
+    batched top_k lowers to a full row sort on TPU and cost ~500 ms on a
+    1536x1536 matrix; the two reduction passes are bandwidth-bound (<1 ms).
+    """
     if D.shape[1] < 2:  # degenerate capacity: pad a BIG column for the 2-NN
         D = jnp.concatenate([D, jnp.full((D.shape[0], 2 - D.shape[1]), BIG)],
                             axis=1)
-    neg = -D
-    top2, idx2 = jax.lax.top_k(neg, 2)           # largest of -D = smallest D
-    d0 = -top2[:, 0]
-    d1 = -top2[:, 1]
-    best_j = idx2[:, 0]
+    d0 = jnp.min(D, axis=1)
+    best_j = jnp.argmin(D, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, D.shape, 1)
+    d1 = jnp.min(jnp.where(cols == best_j[:, None], BIG, D), axis=1)
     keep = (d0 < ratio_keep * d1) & (d0 < BIG)
     return best_j, d0, keep
 
@@ -53,7 +58,11 @@ def match_pair_descriptors(f1: ImageFeatures, f2: ImageFeatures,
     """
     N = f1.capacity
     M = f2.capacity
-    D = hamming_distance_matrix(f1.descriptors, f2.descriptors)
+    # dtype dispatch: binary (ORB rBRIEF) -> Hamming; float (SIFT) -> L2
+    if jnp.issubdtype(f1.descriptors.dtype, jnp.floating):
+        D = l2_distance_matrix(f1.descriptors, f2.descriptors)
+    else:
+        D = hamming_distance_matrix(f1.descriptors, f2.descriptors)
     D = jnp.where(f1.valid[:, None] & f2.valid[None, :], D, BIG)
     ratio_keep = jnp.float32(1.0 - cfg.match_conf)
 

@@ -22,11 +22,15 @@ _lib = None
 _tried = False
 
 
+_SRC_MAXFLOW = os.path.join(_HERE, "maxflow.cpp")
+
+
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
-            check=True, capture_output=True, timeout=120)
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, _SRC_MAXFLOW,
+             "-o", _SO],
+            check=True, capture_output=True, timeout=180)
         return True
     except Exception:
         return False
@@ -38,8 +42,9 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
-                                       < os.path.getmtime(_SRC)):
+        newest_src = max(os.path.getmtime(_SRC),
+                         os.path.getmtime(_SRC_MAXFLOW))
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest_src:
             if not _build():
                 return None
         try:
@@ -54,6 +59,11 @@ def _load():
         lib.flood_fill.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_uint8, ctypes.c_uint8]
+        lib.grid_maxflow.restype = ctypes.c_double
+        lib.grid_maxflow.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8)]
         lib.ccl_stats.restype = None
         lib.ccl_stats.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
@@ -159,3 +169,26 @@ def _flood_numpy(img: np.ndarray, seed_yx, value: int, new_val: int):
                 count += 1
                 stack.append((ny, nx))
     return count
+
+
+def grid_maxflow(tcap: np.ndarray, ecap: np.ndarray):
+    """BK min-cut on an (H, W) 4-neighbor grid (native maxflow.cpp).
+
+    tcap: (H, W) float32 terminal capacities (>0 source, <0 sink);
+    ecap: (H, W, 4) float32 directed edge capacities (left,right,up,down).
+    Returns (labels (H, W) uint8 — 1 = source side, flow value). Requires
+    the native library (no NumPy fallback: augmenting paths in Python would
+    be unusably slow).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native maxflow unavailable (g++ missing?)")
+    t = np.ascontiguousarray(tcap, np.float32)
+    e = np.ascontiguousarray(ecap, np.float32)
+    h, w = t.shape
+    lab = np.zeros((h, w), np.uint8)
+    flow = lib.grid_maxflow(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        e.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w,
+        lab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return lab, float(flow)

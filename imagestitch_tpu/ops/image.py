@@ -8,14 +8,16 @@ Design notes (TPU-first):
   VPU.
 - `remap_*` is the hot gather (ref 圆柱面投影.cpp:157 cv::remap); implemented
   as a fused bilinear gather so the warp stage is one kernel.
-- Separable convolutions are implemented with `lax.conv_general_dilated`
-  feeding the MXU for the multi-channel case.
+- Separable convolutions are shifted multiply-adds on the VPU (single-
+  channel spatial convs are hostile to the MXU layout; see _sep_filter2d).
 """
 
 from __future__ import annotations
 
 import functools
 import math
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +51,13 @@ def gaussian_kernel1d(ksize: int, sigma: float) -> jnp.ndarray:
 def _sep_filter2d(img: jnp.ndarray, kx: jnp.ndarray, ky: jnp.ndarray,
                   border: str = "reflect") -> jnp.ndarray:
     """Separable 2-D filter over (H, W) or (H, W, C) float32 with
-    BORDER_REFLECT_101-style padding (OpenCV's default)."""
+    BORDER_REFLECT_101-style padding (OpenCV's default).
+
+    Implemented as shifted multiply-adds (static slices of the padded image)
+    rather than lax.conv: XLA lays single-channel spatial convolutions out as
+    T(1, 128) — one sublane — and they dominated whole-pipeline time (the
+    7-tap blur of a 1080p level cost ~240 ms as a conv vs ~0.3 ms as k fused
+    VPU passes)."""
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
@@ -59,17 +67,21 @@ def _sep_filter2d(img: jnp.ndarray, kx: jnp.ndarray, ky: jnp.ndarray,
     mode = {"reflect": "reflect", "edge": "edge", "constant": "constant"}[border]
     # pad rows/cols; jnp "reflect" == OpenCV BORDER_REFLECT_101
     p = jnp.pad(img, ((ry, ry), (rx, rx), (0, 0)), mode=mode)
-    # NHWC conv with depthwise kernels
-    x = p[None]  # (1, H+2ry, W+2rx, C)
-    kyk = ky.reshape(-1, 1, 1, 1) * jnp.ones((1, 1, 1, C), jnp.float32)
-    x = lax.conv_general_dilated(
-        x, kyk, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
-    kxk = kx.reshape(1, -1, 1, 1) * jnp.ones((1, 1, 1, C), jnp.float32)
-    x = lax.conv_general_dilated(
-        x, kxk, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
-    out = x[0]
+
+    ky_l = [float(v) for v in np.asarray(ky)] if isinstance(ky, np.ndarray) \
+        else list(ky)
+    kx_l = [float(v) for v in np.asarray(kx)] if isinstance(kx, np.ndarray) \
+        else list(kx)
+    # vertical pass: Σ_t ky[t] · p[t : t+H]
+    acc = None
+    for t in range(len(ky_l)):
+        term = ky_l[t] * p[t:t + H, :, :]
+        acc = term if acc is None else acc + term
+    # horizontal pass
+    out = None
+    for t in range(len(kx_l)):
+        term = kx_l[t] * acc[:, t:t + W, :]
+        out = term if out is None else out + term
     return out[..., 0] if squeeze else out
 
 

@@ -38,6 +38,7 @@ SLAB_H = 32        # vertical slab capacity (source rows per tile)
 SLAB_W = 384       # horizontal slab capacity (source cols per tile)
 VSPAN = 16         # vertical hat window (rows actually summed)
 QSPAN = 48         # horizontal shift window (static lane shifts summed)
+KGROUP = 8         # k-shift group size for runtime predication
 # HBM DMA slice origins must be aligned to the (8, 128) tile grid (Mosaic
 # constraint); slabs are over-sized so quantizing the origin down still
 # covers the tile's source extent
@@ -48,7 +49,7 @@ def _hat(t):
 
 
 def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
-                 slab_ref, sem):
+                 slab_ref, acc_ref, grp_ref, sem):
     """One (TILE_H, TILE_W) output tile.
 
     mat_ref: SMEM (9,) float32 — k_rinv (row-major), the backward projection
@@ -151,41 +152,57 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
     qbase = jnp.where(any_ok, qbase, 0)
     qbase = jnp.clip(qbase, -(SLAB_W - 1), SLAB_W - 1)
 
+    # per-tile ACTUAL spans: most tiles of a realistic warp need only a few
+    # vertical rows and horizontal shifts (large-focal cylindrical maps are
+    # near-identity) — the window loops below are predicated per group so
+    # the unneeded bulk of VSPAN x QSPAN is skipped at runtime
+    vmax = jnp.max(jnp.where(ok, ly, -1.0))
+    vspread = jnp.ceil(vmax).astype(jnp.int32) - rmin + 1   # rows needed
+    qmax = jnp.max(jnp.where(ok, qrel, -(2 ** 30)))
+    qspread = qmax - qbase + 2                               # shifts needed
+
     dma.wait()
 
-    # NOTE(perf): this hat-sum formulation costs VSPAN*QSPAN fused VPU ops
-    # per pixel (~28 ms/1080p image, vs 65 ms for XLA's scalarized gather).
-    # A butterfly (binary-shift select) gather would cut it to ~10 log-steps
-    # per pixel; left for a follow-up.
+    # NOTE(perf): hat-sum formulation; a butterfly (binary-shift select)
+    # gather would cut the per-pixel work to ~10 log-steps; follow-up.
     rot = jnp.mod(-qbase, SLAB_W)  # Mosaic dynamic rotate needs nonneg shift
     t = lx - (qbase + jlane).astype(jnp.float32)          # hoisted h-arg
 
-    wsum = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(C)]
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    grp_ref[...] = jnp.zeros_like(grp_ref)
     for dr in range(VSPAN):
-        r = rmin + dr
-        wv = _hat(ly - r.astype(jnp.float32))             # (TH, TW)
-        rows = [pltpu.roll(slab_ref[c, pl.ds(r, 1), :], rot, axis=1)
-                for c in range(C)]                        # (1, SLAB_W)
-        hw_any = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        hacc = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(C)]
-        for k in range(QSPAN):
-            # static slices: lane j = rotated-row lane (j + k)
-            # = slab column qbase + j + k (no wrap for nonzero-weight terms)
-            wh = _hat(t - k)
-            hw_any = hw_any + wh
+        @pl.when(dr < vspread)
+        def _(dr=dr):
+            r = rmin + dr
+            wv = _hat(ly - r.astype(jnp.float32))         # (TH, TW)
+            rows = [pltpu.roll(slab_ref[c, pl.ds(r, 1), :], rot, axis=1)
+                    for c in range(C)]                    # (1, SLAB_W)
+            for kg in range(0, QSPAN, KGROUP):
+                @pl.when(kg < qspread)
+                def _(kg=kg, rows=rows):
+                    ha = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                    hc = [jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                          for _ in range(C)]
+                    for k in range(kg, kg + KGROUP):
+                        wh = _hat(t - k)
+                        ha = ha + wh
+                        for c in range(C):
+                            hc[c] = hc[c] + wh * rows[c][:, k:k + TILE_W]
+                    grp_ref[0] = grp_ref[0] + ha
+                    for c in range(C):
+                        grp_ref[1 + c] = grp_ref[1 + c] + hc[c]
+            acc_ref[0] = acc_ref[0] + wv * grp_ref[0]
             for c in range(C):
-                hacc[c] = hacc[c] + wh * rows[c][:, k:k + TILE_W]
-        wsum = wsum + wv * hw_any
-        for c in range(C):
-            accs[c] = accs[c] + wv * hacc[c]
+                acc_ref[1 + c] = acc_ref[1 + c] + wv * grp_ref[1 + c]
+            grp_ref[...] = jnp.zeros_like(grp_ref)
 
+    wsum = acc_ref[0]
     wsafe = jnp.where(wsum > 1e-6, wsum, 1.0)
     # interior pixels accumulate exactly 1.0 total weight; anything less
     # means a tap fell outside the window -> conservatively invalid
     valid = ok & (wsum > 0.99)
     for c in range(C):
-        out_ref[c] = jnp.where(valid, accs[c] / wsafe, 0.0)
+        out_ref[c] = jnp.where(valid, acc_ref[1 + c] / wsafe, 0.0)
     valid_ref[...] = valid.astype(jnp.float32)
 
 
@@ -248,6 +265,8 @@ def pallas_warp(img: jnp.ndarray, k_rinv: jnp.ndarray, scale,
         ],
         scratch_shapes=[
             pltpu.VMEM((C, SLAB_H, SLAB_W), jnp.float32),
+            pltpu.VMEM((C + 1, TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((C + 1, TILE_H, TILE_W), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

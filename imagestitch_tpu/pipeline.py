@@ -15,6 +15,7 @@ wrappers crop to the valid bounding box and convert to uint8.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import numpy as np
@@ -24,7 +25,7 @@ import jax.numpy as jnp
 from imagestitch_tpu.config import PipelineConfig
 from imagestitch_tpu.types import CameraParams, ImageFeatures, MatchesInfo
 from imagestitch_tpu.ops.image import rgb_to_gray, dilate
-from imagestitch_tpu.features.orb import detect_and_compute
+from imagestitch_tpu.features import detect as detect_features
 from imagestitch_tpu.matching.matcher import match_pair, match_all
 from imagestitch_tpu.geometry.rotation import (
     estimate_cameras, estimate_cameras_host)
@@ -67,6 +68,9 @@ def _seam_and_blend(images: jnp.ndarray, masks: jnp.ndarray,
             if cfg.seam.kind == "voronoi":
                 a2, b2 = voronoi_seam_pair(a, b)
             else:
+                # "graphcut" is host-only (native maxflow; Stitcher handles
+                # it before calling here) — inside jit it degrades to the DP
+                # seam, its closest on-device equivalent
                 use_grad = cfg.seam.kind == "dp_colorgrad"
                 a2, b2, _ = dp_seam_pair(images[i], images[i + 1], a, b,
                                          use_grad)
@@ -151,8 +155,8 @@ def stitch_pair_impl(img1: jnp.ndarray, img2: jnp.ndarray, key: jax.Array,
     # 1-2. features (ref :1034-1038)
     g1 = rgb_to_gray(img1)
     g2 = rgb_to_gray(img2)
-    f1 = detect_and_compute(g1, cfg.detector)
-    f2 = detect_and_compute(g2, cfg.detector)
+    f1 = detect_features(g1, cfg.detector)
+    f2 = detect_features(g2, cfg.detector)
 
     # 3. match + homography (ref :307-308 of the matching project)
     mi = match_pair(f1, f2, key, 0, 1, cfg.matcher, cfg.ransac)
@@ -249,7 +253,7 @@ class Stitcher:
     def __init__(self, config: PipelineConfig | None = None):
         self.cfg = config or PipelineConfig()
         self._detect = jax.jit(functools.partial(
-            detect_and_compute, cfg=self.cfg.detector))
+            detect_features, cfg=self.cfg.detector))
         self._match_all = jax.jit(functools.partial(
             match_all, cfg=self.cfg.matcher, rcfg=self.cfg.ransac))
 
@@ -311,7 +315,21 @@ class Stitcher:
                 jax.block_until_ready(warped)
 
         with timer.stage("seam_blend"):
-            pano, valid = _seam_and_blend(warped, masks, cfg)
+            if cfg.seam.kind == "graphcut":
+                # host path: native BK maxflow per chained pair, then blend
+                # with the already-resolved masks
+                from imagestitch_tpu.seam.graphcut import graphcut_seam_pair
+                w_np = np.asarray(warped)
+                m_list = [np.asarray(masks[i]) for i in range(n)]
+                for i in range(n - 1):
+                    m_list[i], m_list[i + 1] = graphcut_seam_pair(
+                        w_np[i], w_np[i + 1], m_list[i], m_list[i + 1])
+                masks_cut = jnp.asarray(np.stack(m_list))
+                cfg_rest = cfg.replace(seam=dataclasses.replace(
+                    cfg.seam, kind="none"))
+                pano, valid = _seam_and_blend(warped, masks_cut, cfg_rest)
+            else:
+                pano, valid = _seam_and_blend(warped, masks, cfg)
             pano = np.asarray(pano)
             valid = np.asarray(valid)
 

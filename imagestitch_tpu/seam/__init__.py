@@ -1,5 +1,6 @@
 from imagestitch_tpu.seam.distance import l1_distance_transform
 from imagestitch_tpu.seam.voronoi import voronoi_seam_pair
+from imagestitch_tpu.seam.graphcut import graphcut_seam_pair
 from imagestitch_tpu.seam.dp import (
     dp_seam_pair,
     dp_seam_path,
@@ -11,6 +12,7 @@ from imagestitch_tpu.seam.dp import (
 __all__ = [
     "l1_distance_transform",
     "voronoi_seam_pair",
+    "graphcut_seam_pair",
     "dp_seam_pair",
     "dp_seam_path",
     "seam_costs",
