@@ -244,33 +244,40 @@ def pallas_warp(img: jnp.ndarray, k_rinv: jnp.ndarray, scale,
         jnp.asarray([H, W, Hs, Ws], jnp.float32),
     ])
 
-    out, valid = pl.pallas_call(
-        _warp_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((C, TILE_H, TILE_W),
-                         lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((C, Hp, Wp), jnp.float32),
-            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((C, SLAB_H, SLAB_W), jnp.float32),
-            pltpu.VMEM((C + 1, TILE_H, TILE_W), jnp.float32),
-            pltpu.VMEM((C + 1, TILE_H, TILE_W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(mat, misc, planar)
+    # sequential_vmap: pallas_call's generic batching rule mangles the SMEM
+    # scalar specs (vmapped batched stitching would fail to lower); mapping
+    # batch members sequentially re-invokes the same compiled kernel
+    @jax.custom_batching.sequential_vmap
+    def call(mat, misc, planar):
+        return pl.pallas_call(
+            _warp_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((C, TILE_H, TILE_W),
+                             lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((C, Hp, Wp), jnp.float32),
+                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((C, SLAB_H, SLAB_W), jnp.float32),
+                pltpu.VMEM((C + 1, TILE_H, TILE_W), jnp.float32),
+                pltpu.VMEM((C + 1, TILE_H, TILE_W), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(mat, misc, planar)
+
+    out, valid = call(mat, misc, planar)
 
     out = out[:, :Hc, :Wc].transpose(1, 2, 0)
     if img.ndim == 2:

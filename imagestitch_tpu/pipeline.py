@@ -120,8 +120,7 @@ def _warp_all_shared(images: jnp.ndarray, cams: CameraParams, scale,
     v0 = jnp.min(jnp.stack([b[1] for b in bounds]))
     corner = jnp.stack([jnp.floor(u0), jnp.floor(v0)]).astype(jnp.int32)
 
-    warped = jnp.zeros((n, Hc, Wc) + images.shape[3:], jnp.float32)
-    masks = jnp.zeros((n, Hc, Wc), bool)
+    canvases, mask_list = [], []
     for i in range(n):
         # pin this image's canvas to its own u0 but the SHARED v0, so the
         # paste is a pure x-offset (oy == 0 exactly)
@@ -131,11 +130,17 @@ def _warp_all_shared(images: jnp.ndarray, cams: CameraParams, scale,
                        cfg.warp.kind, corner=corner_i)
         ox = jnp.clip(corner_i[0] - corner[0], 0, Wc - Wi)
         zero = jnp.int32(0)
-        warped = warped.at[i].set(jax.lax.dynamic_update_slice(
-            warped[i], r.image, (zero, ox) + (zero,) * (r.image.ndim - 2)))
-        masks = masks.at[i].set(jax.lax.dynamic_update_slice(
-            masks[i], r.mask, (zero, ox)))
-    return warped, masks, corner
+        # paste into a fresh zero canvas and stack once at the end —
+        # updating rows of a pre-stacked (N, Hc, Wc, C) buffer made XLA
+        # rewrite the whole stack per image
+        canvas = jax.lax.dynamic_update_slice(
+            jnp.zeros((Hc, Wc) + images.shape[3:], jnp.float32), r.image,
+            (zero, ox) + (zero,) * (r.image.ndim - 2))
+        mask = jax.lax.dynamic_update_slice(
+            jnp.zeros((Hc, Wc), bool), r.mask, (zero, ox))
+        canvases.append(canvas)
+        mask_list.append(mask)
+    return jnp.stack(canvases), jnp.stack(mask_list), corner
 
 
 # ---------------------------------------------------------------------------

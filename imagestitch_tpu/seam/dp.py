@@ -49,10 +49,14 @@ def seam_costs(img1: jnp.ndarray, img2: jnp.ndarray, both: jnp.ndarray,
     return jnp.where(both, e, BIG)
 
 
-def dp_seam_path(cost: jnp.ndarray) -> jnp.ndarray:
+def dp_seam_path(cost: jnp.ndarray, chunk: int = 8) -> jnp.ndarray:
     """Min-cost top-to-bottom path through a (H, W) cost map, one column per
     row, moves in {-1, 0, +1} (the 3-predecessor DP of ref estimateSeam
     :846-916). Rows whose cost is all-BIG (no overlap) are free (cost 0).
+
+    The recurrence is row-sequential; `chunk` rows are processed per scan
+    step (sequentially inside the body) to amortize the per-step overhead of
+    lax.scan on TPU (~5 µs/step — a 1620-row canvas costs ~8 ms at chunk=1).
 
     Returns seam column per row, (H,) int32.
     """
@@ -63,28 +67,55 @@ def dp_seam_path(cost: jnp.ndarray) -> jnp.ndarray:
     def shift(x, s):
         return jnp.roll(x, s).at[(0 if s > 0 else -1)].set(BIG)
 
-    def fwd(carry, e_row):
-        left = shift(carry, 1)
-        right = shift(carry, -1)
-        stacked = jnp.stack([left, carry, right])          # (3, W)
-        choice = jnp.argmin(stacked, axis=0)                # 0/1/2
-        m = e_row + jnp.min(stacked, axis=0)
-        m = jnp.minimum(m, BIG)                             # avoid overflow
-        return m, (m, choice.astype(jnp.int8))
+    def step_one(m, e_row):
+        left = shift(m, 1)
+        right = shift(m, -1)
+        stacked = jnp.stack([left, m, right])               # (3, W)
+        choice = jnp.argmin(stacked, axis=0)                 # 0/1/2
+        m2 = jnp.minimum(e_row + jnp.min(stacked, axis=0), BIG)
+        return m2, choice.astype(jnp.int8)
 
-    init = e[0]
-    _, (M, choices) = lax.scan(fwd, init, e[1:])
-    # choices[r] maps row r+1 -> predecessor offset (choice-1) in row r
+    # pad the (H-1) transition rows to a chunk multiple with free rows
+    rest = e[1:]
+    n_rest = H - 1
+    n_pad = (-n_rest) % chunk
+    if n_pad:
+        rest = jnp.concatenate([rest, jnp.zeros((n_pad, W), e.dtype)])
+    rest = rest.reshape(-1, chunk, W)
 
-    last = jnp.argmin(M[-1] if H > 1 else init)
+    def fwd(m, e_rows):
+        ms, chs = [], []
+        for r in range(chunk):
+            m, ch = step_one(m, e_rows[r])
+            ms.append(m)
+            chs.append(ch)
+        return m, (jnp.stack(ms), jnp.stack(chs))
 
-    def back(col, ch_row):
-        off = ch_row[col].astype(jnp.int32) - 1
-        prev = jnp.clip(col + off, 0, W - 1)
-        return prev, col
+    _, (M, choices) = lax.scan(fwd, e[0], rest)
+    M_flat = M.reshape(-1, W)
+    choices = choices.reshape(-1, W)
 
-    first_col, cols_rev = lax.scan(back, last, choices, reverse=True)
-    seam = jnp.concatenate([first_col[None], cols_rev])
+    # start at the PADDED bottom: pad rows cost 0 everywhere, so its min
+    # equals the min at row H-1 and backtracking through the pads lands on
+    # an optimal column there
+    last = jnp.argmin(M_flat[-1]) if H > 1 else jnp.argmin(e[0])
+
+    def back(col, ch_rows):
+        cols = []
+        for r in range(chunk - 1, -1, -1):
+            cols.append(col)
+            off = ch_rows[r][col].astype(jnp.int32) - 1
+            col = jnp.clip(col + off, 0, W - 1)
+        # cols collected bottom-up within the chunk; reverse to top-down
+        return col, jnp.stack(cols[::-1])
+
+    # backtrack over padded chunks: padded free rows sit BELOW row H-1 and
+    # have choice=1 (straight down), so starting from `last` at the padded
+    # bottom yields the same column at row H-1
+    pad_choices = choices.reshape(-1, chunk, W)
+    first_col, cols_rev = lax.scan(back, last, pad_choices, reverse=True)
+    cols = cols_rev.reshape(-1)[:n_rest]
+    seam = jnp.concatenate([first_col[None], cols])
     return seam.astype(jnp.int32)
 
 
