@@ -75,6 +75,79 @@ def synthetic_pair(height: int = 480, width: int = 640, overlap: float = 0.4,
     return np.ascontiguousarray(img1), np.ascontiguousarray(img2), shift
 
 
+def _bilinear_sample(img: np.ndarray, x: np.ndarray, y: np.ndarray):
+    """Host NumPy bilinear sample of (H, W, C) at float coords (clipped)."""
+    H, W = img.shape[:2]
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, W - 2)
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, H - 2)
+    fx = np.clip(x - x0, 0.0, 1.0)[..., None]
+    fy = np.clip(y - y0, 0.0, 1.0)[..., None]
+    p00 = img[y0, x0]
+    p01 = img[y0, x0 + 1]
+    p10 = img[y0 + 1, x0]
+    p11 = img[y0 + 1, x0 + 1]
+    return ((p00 * (1 - fx) + p01 * fx) * (1 - fy)
+            + (p10 * (1 - fx) + p11 * fx) * fy)
+
+
+def _rot_ypr(yaw: float, pitch: float, roll: float) -> np.ndarray:
+    """R = Rz(roll) @ Rx(pitch) @ Ry(yaw)."""
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cx, sx = np.cos(pitch), np.sin(pitch)
+    cz, sz = np.cos(roll), np.sin(roll)
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return Rz @ Rx @ Ry
+
+
+def synthetic_rotation_pair(height: int = 480, width: int = 640,
+                            yaw_deg: float = 10.0, pitch_deg: float = 1.0,
+                            roll_deg: float = 1.5, seed: int = 7,
+                            focal: float | None = None):
+    """Two views of one planar scene from a PURELY ROTATING camera — the
+    rotation+perspective fixture (a real panorama geometry, unlike the pure
+    x-translation of `synthetic_pair`).
+
+    The scene is rendered as the image of a wide reference camera (intrinsics
+    K_s, same focal); view i sees it through rotation R_i, so
+    pixel_view_i = K @ R_i @ K_s^-1 @ pixel_scene and the ground-truth pair
+    homography is H = K @ R2 @ R1^-1 @ K^-1 (view1 -> view2), with the
+    ground-truth focal known exactly.
+
+    Returns (img1, img2, H_true (3, 3) float64, focal).
+    """
+    f = float(focal if focal is not None else 0.9 * width)
+    yaw = np.deg2rad(yaw_deg)
+    # scene canvas wide enough for both rotated frusta
+    extra = int(np.ceil(2.0 * f * np.tan(yaw) + 0.25 * width))
+    sh, sw = height + height // 3, width + extra
+    scene = _render_scene(sh, sw, seed).astype(np.float32)
+    K = np.array([[f, 0, (width - 1) / 2.0],
+                  [0, f, (height - 1) / 2.0],
+                  [0, 0, 1.0]])
+    Ks = np.array([[f, 0, (sw - 1) / 2.0],
+                   [0, f, (sh - 1) / 2.0],
+                   [0, 0, 1.0]])
+    R1 = _rot_ypr(-yaw / 2, 0.0, 0.0)
+    R2 = _rot_ypr(yaw / 2, np.deg2rad(pitch_deg), np.deg2rad(roll_deg))
+
+    ys, xs = np.mgrid[0:height, 0:width].astype(np.float64)
+    ones = np.ones_like(xs)
+    views = []
+    for R in (R1, R2):
+        # backward map: view pixel -> scene pixel
+        M = Ks @ R.T @ np.linalg.inv(K)
+        px = M[0, 0] * xs + M[0, 1] * ys + M[0, 2] * ones
+        py = M[1, 0] * xs + M[1, 1] * ys + M[1, 2] * ones
+        pz = M[2, 0] * xs + M[2, 1] * ys + M[2, 2] * ones
+        views.append(np.clip(_bilinear_sample(scene, px / pz, py / pz),
+                             0, 255).astype(np.uint8))
+    H_true = K @ R2 @ R1.T @ np.linalg.inv(K)
+    H_true = H_true / H_true[2, 2]
+    return views[0], views[1], H_true, f
+
+
 def synthetic_sequence(n: int, height: int = 480, width: int = 640,
                        overlap: float = 0.5, seed: int = 7):
     """N overlapping views sliding across one wide scene (the multi-image
