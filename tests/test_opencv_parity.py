@@ -1,0 +1,204 @@
+"""Differential tests against OpenCV — the reference's correctness standard.
+
+The reference's entire verification methodology is "matches stock OpenCV
+3.4.2 output" (SURVEY.md §4); BASELINE.md's functional target is sub-pixel
+homography agreement vs OpenCV. This environment ships cv2 5.0, so these
+tests compare against the real oracle (the algorithms under test —
+findHomography's normalized DLT + LM, focal-from-H, the rotation warpers,
+the gain solve — are unchanged between 3.4 and 5.0).
+
+Each test builds a synthetic scene with nontrivial geometry (rotation +
+perspective, not just translation), runs BOTH implementations, and asserts
+numeric agreement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax
+import jax.numpy as jnp
+
+from imagestitch_tpu.utils.io import synthetic_rotation_pair
+
+
+def _detect_and_match_cv(img1, img2):
+    """OpenCV ORB + BF matching: ground-truth correspondences for feeding
+    both homography estimators identically."""
+    orb = cv2.ORB_create(nfeatures=1500)
+    g1 = cv2.cvtColor(img1, cv2.COLOR_RGB2GRAY)
+    g2 = cv2.cvtColor(img2, cv2.COLOR_RGB2GRAY)
+    k1, d1 = orb.detectAndCompute(g1, None)
+    k2, d2 = orb.detectAndCompute(g2, None)
+    bf = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
+    matches = sorted(bf.match(d1, d2), key=lambda m: m.distance)[:300]
+    src = np.float32([k1[m.queryIdx].pt for m in matches])
+    dst = np.float32([k2[m.trainIdx].pt for m in matches])
+    return src, dst
+
+
+@pytest.fixture(scope="module")
+def rot_pair():
+    return synthetic_rotation_pair(360, 480, yaw_deg=9.0, pitch_deg=1.0,
+                                   roll_deg=2.0, seed=11)
+
+
+def _h_dist(Ha, Hb, w, h):
+    """Max corner transfer error (px) between two homographies."""
+    pts = np.array([[0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1]],
+                   np.float64)
+    q = np.concatenate([pts, np.ones((4, 1))], 1)
+
+    def apply(H):
+        r = q @ H.T
+        return r[:, :2] / r[:, 2:]
+
+    return np.abs(apply(Ha) - apply(Hb)).max()
+
+
+class TestHomography:
+    def test_find_homography_subpixel_vs_opencv(self, rot_pair):
+        """Same correspondences into cv2.findHomography and our RANSAC+DLT+LM
+        must agree to sub-pixel corner transfer error (BASELINE.md target)."""
+        from imagestitch_tpu.geometry.ransac import find_homography
+
+        img1, img2, H_true, _ = rot_pair
+        src, dst = _detect_and_match_cv(img1, img2)
+        H_cv, mask_cv = cv2.findHomography(src, dst, cv2.RANSAC, 3.0)
+
+        pad = 512 - src.shape[0]
+        srcp = np.pad(src, ((0, pad), (0, 0)))
+        dstp = np.pad(dst, ((0, pad), (0, 0)))
+        valid = np.arange(512) < src.shape[0]
+        res = find_homography(
+            jnp.asarray(srcp), jnp.asarray(dstp), jnp.asarray(valid),
+            jax.random.key(0))
+        assert bool(res.ok)
+        H_ours = np.asarray(res.H, np.float64)
+        h, w = img1.shape[:2]
+        # both must agree with the analytic ground truth sub-pixel — and
+        # hence with each other
+        assert _h_dist(H_cv, H_true, w, h) < 1.0
+        assert _h_dist(H_ours, H_true, w, h) < 1.0
+        assert _h_dist(H_ours, H_cv, w, h) < 1.0
+
+    def test_dlt_exact_vs_opencv_on_clean_points(self):
+        """On noise-free points both DLTs must recover H to ~machine
+        precision (no RANSAC randomness involved)."""
+        from imagestitch_tpu.geometry.homography import dlt_homography
+
+        rng = np.random.default_rng(3)
+        H_true = np.array([[1.05, 0.08, 12.0], [-0.05, 0.97, -6.0],
+                           [1e-4, -8e-5, 1.0]])
+        src = rng.uniform(0, 400, (64, 2))
+        q = np.concatenate([src, np.ones((64, 1))], 1) @ H_true.T
+        dst = q[:, :2] / q[:, 2:]
+
+        H_cv, _ = cv2.findHomography(src.astype(np.float32),
+                                     dst.astype(np.float32), 0)
+        H_dlt, ok = dlt_homography(
+            jnp.asarray(src, jnp.float32), jnp.asarray(dst, jnp.float32),
+            jnp.ones((64,), bool))
+        assert bool(ok)
+        H_ours = np.asarray(H_dlt)
+        assert _h_dist(H_ours, H_cv, 400, 400) < 1e-2
+        assert _h_dist(H_ours, H_true, 400, 400) < 1e-2
+
+
+class TestFocal:
+    def test_focal_from_homography_ground_truth(self, rot_pair):
+        """Our closed form recovers the EXACT ground-truth focal from the
+        analytic rotation homography (stronger than differential: the fixture
+        construction makes the true answer known). cv2's
+        focalsFromHomography binding takes out-params by reference and is
+        uncallable from Python, so the analytic truth is the oracle."""
+        from imagestitch_tpu.geometry.autocalib import focals_from_homography
+
+        img1, img2, H_true, f_true = rot_pair
+        h, w = img1.shape[:2]
+        # the focal formulas assume principal point at origin; re-center
+        T = np.array([[1, 0, -(w - 1) / 2.0], [0, 1, -(h - 1) / 2.0],
+                      [0, 0, 1.0]])
+        Hc = T @ H_true @ np.linalg.inv(T)
+        fa, fb, oka, okb = focals_from_homography(jnp.asarray(Hc, jnp.float32))
+        assert bool(oka) and bool(okb)
+        assert abs(float(fa) - f_true) / f_true < 0.02
+        assert abs(float(fb) - f_true) / f_true < 0.02
+
+
+class TestWarper:
+    @pytest.mark.parametrize("kind,cv_name", [
+        ("cylindrical", "cylindrical"),
+        ("spherical", "spherical"),
+        ("plane", "plane"),
+    ])
+    def test_warp_backward_maps_vs_opencv(self, kind, cv_name):
+        """buildMaps parity: our projector backward map vs cv2's
+        RotationWarper xmap/ymap, sub-pixel everywhere valid."""
+        from imagestitch_tpu.warp.projectors import PROJECTORS
+
+        H, W = 120, 160
+        f = 140.0
+        K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+        # modest rotation
+        ang = np.deg2rad(8.0)
+        R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                      [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+        warper = cv2.PyRotationWarper(cv_name, f)
+        roi, xmap, ymap = warper.buildMaps((W, H), K, R)
+        x0, y0 = roi[0], roi[1]
+
+        proj = PROJECTORS[kind](jnp.asarray(K), jnp.asarray(R), f)
+        hh, ww = xmap.shape
+        dx = jnp.arange(ww, dtype=jnp.float32)[None, :] + x0
+        dy = jnp.arange(hh, dtype=jnp.float32)[:, None] + y0
+        xm, ym, ok = proj.backward(jnp.broadcast_to(dx, (hh, ww)),
+                                   jnp.broadcast_to(dy, (hh, ww)))
+        xm, ym, ok = np.asarray(xm), np.asarray(ym), np.asarray(ok)
+        # compare where OpenCV's map lands inside the source and the ray is
+        # valid (outside, OpenCV leaves arbitrary negatives)
+        sel = ((xmap >= 0) & (xmap <= W - 1) & (ymap >= 0) & (ymap <= H - 1)
+               & ok)
+        assert sel.mean() > 0.5
+        assert np.abs(xm[sel] - xmap[sel]).max() < 0.51
+        assert np.abs(ym[sel] - ymap[sel]).max() < 0.51
+
+
+class TestGain:
+    def test_gain_solve_vs_opencv(self):
+        """cv2.detail GainCompensator vs ours on a 2-image overlap with a
+        0.5x exposure difference."""
+        from imagestitch_tpu.exposure.gain import gain_compensate
+
+        rng = np.random.default_rng(0)
+        H, W = 64, 48
+        g = rng.uniform(60, 200, (H, W)).astype(np.float32)
+        img1 = np.repeat(np.clip(g, 0, 255).astype(np.uint8)[..., None], 3, -1)
+        img2 = np.repeat(np.clip(g * 0.5, 0, 255).astype(np.uint8)[..., None],
+                         3, -1)
+        m1 = np.zeros((H, W), np.uint8)
+        m1[:, :32] = 255
+        m2 = np.zeros((H, W), np.uint8)
+        m2[:, 16:] = 255
+
+        comp = cv2.detail.ExposureCompensator_createDefault(
+            cv2.detail.ExposureCompensator_GAIN)
+        comp.feed(corners=[(0, 0), (0, 0)], images=[img1, img2],
+                  masks=[m1, m2])
+        cv_gains = []
+        probe = np.full((H, W, 3), 200, np.uint8)
+        for i in range(2):
+            p = probe.copy()
+            comp.apply(i, (0, 0), p, m1 if i == 0 else m2)
+            cv_gains.append(p[0, 0, 0] / 200.0)
+
+        gains, _ = gain_compensate(
+            jnp.asarray(np.stack([img1, img2]), jnp.float32),
+            jnp.asarray(np.stack([m1 > 0, m2 > 0])),
+            jnp.zeros((2, 2), jnp.int32), shared_frame=True)
+        ours = np.asarray(gains)
+        # cv gains read back through a uint8 probe: 1/200 quantization
+        assert np.abs(ours - np.asarray(cv_gains)).max() < 0.02
