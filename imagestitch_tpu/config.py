@@ -102,9 +102,12 @@ class WarpConfig:
 
     kind: str = "cylindrical"     # cylindrical|spherical|plane|fisheye|stereographic
     # static canvas capacity as a multiple of the input image size (the
-    # jit-compiled pipeline warps into a fixed canvas; ROI offsets are dynamic)
-    canvas_scale_w: float = 2.5
-    canvas_scale_h: float = 1.5
+    # jit-compiled pipeline warps into a fixed canvas; ROI offsets are
+    # dynamic). Every downstream stage's cost scales with canvas area;
+    # clipping is detected on device and surfaced as metrics
+    # "canvas_overflow" (raise these scales if it fires)
+    canvas_scale_w: float = 2.1
+    canvas_scale_h: float = 1.35
 
 
 @dataclass(frozen=True)

@@ -134,6 +134,24 @@ def detect_and_compute(gray: jnp.ndarray,
         k_cell = max(int(np.ceil(quotas[l] / ncells)), 1)
         k_cand = max(int(np.ceil(k_cell * cfg.per_level_overretain)), k_cell)
 
+        # two-stage candidate selection: top_k over the full flattened level
+        # map full-sorts megapixel arrays on TPU (measured 3 ms per call at
+        # 1080p); instead coarsen to one candidate per (8, 16) block first
+        # (post-NMS FAST corners are sparse: quotas are ~1 per 6400 px, the
+        # block cap is 1 per 128 px) and top_k only the block winners.
+        BH, BW = 8, 16
+        Hp = -(-Hl // BH) * BH
+        Wp = -(-Wl // BW) * BW
+        sp = jnp.pad(score, ((0, Hp - Hl), (0, Wp - Wl)))
+        sb = (sp.reshape(Hp // BH, BH, Wp // BW, BW)
+              .transpose(0, 2, 1, 3).reshape(-1, BH * BW))   # (nB, BH*BW)
+        bmax = jnp.max(sb, axis=-1)                           # (nB,)
+        barg = jnp.argmax(sb, axis=-1).astype(jnp.int32)
+        nbx = Wp // BW
+        bi = jnp.arange(bmax.shape[0], dtype=jnp.int32)
+        win_y = (bi // nbx) * BH + barg // BW                 # (nB,)
+        win_x = (bi % nbx) * BW + barg % BW
+
         # static per-cell column/row bounds, vmapped cell selection
         cell_bounds = []
         for cy in range(cfg.grid_rows):
@@ -145,10 +163,11 @@ def detect_and_compute(gray: jnp.ndarray,
         cb = jnp.asarray(cell_bounds, jnp.int32)              # (C, 4)
 
         def per_cell(b):
-            cell = ((ygrid >= b[0]) & (ygrid < b[1])
-                    & (xgrid >= b[2]) & (xgrid < b[3]))
-            s_cell = jnp.where(cell, score, 0.0).reshape(-1)
-            cand_s, cand_i = jax.lax.top_k(s_cell, k_cand)
+            cell = ((win_y >= b[0]) & (win_y < b[1])
+                    & (win_x >= b[2]) & (win_x < b[3]))
+            s_cell = jnp.where(cell, bmax, 0.0)               # (nB,)
+            cand_s, cand_b = jax.lax.top_k(s_cell, k_cand)
+            cand_i = win_y[cand_b] * Wl + win_x[cand_b]
             cand_valid = cand_s > 0
             # Harris re-score (ref :152-177), invalid slots to -inf
             hvals = harris.reshape(-1)[cand_i]

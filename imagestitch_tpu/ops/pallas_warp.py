@@ -50,28 +50,36 @@ def _hat(t):
 
 def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
                  slab_ref, acc_ref, grp_ref, sem):
-    """One (TILE_H, TILE_W) output tile.
+    """One (TILE_H, TILE_W) output tile of image b.
 
-    mat_ref: SMEM (9,) float32 — k_rinv (row-major), the backward projection
-    misc_ref: SMEM (12,) float32 — [scale, corner_x, corner_y, kind,
-              u0, v0, u1, v1, src_h, src_w, padded_h, padded_w]
-    src_ref: HBM (C, H, W) planar float32 source
-    out_ref: VMEM (C, TILE_H, TILE_W) warped tile
-    valid_ref: VMEM (TILE_H, TILE_W) float32 validity (1.0 valid)
+    mat_ref: SMEM (N, 9) float32 — k_rinv (row-major) per image
+    misc_ref: SMEM (N, 12) float32 — [scale, corner_x, corner_y, kind,
+              u0, v0, u1, v1, src_h, src_w, padded_h, padded_w] per image
+    src_ref: HBM (N, C, H, W) planar float32 sources
+    out_ref: VMEM (1, C, TILE_H, TILE_W) warped tile
+    valid_ref: VMEM (1, TILE_H, TILE_W) float32 validity (1.0 valid)
     slab_ref: VMEM (C, SLAB_H, SLAB_W) scratch
+
+    The grid is (N, rows, cols): the batch index is a leading grid dim, so
+    warping every image of a stitch (or a whole dispatch batch) is ONE
+    kernel launch. Tiles whose ROI test rejects every pixel (the common case
+    when warping directly into a wide shared pano canvas) skip their slab
+    DMA and the accumulation loops entirely — they only pay the map trig.
     """
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
-    scale = misc_ref[0]
-    cx = misc_ref[1]
-    cy = misc_ref[2]
-    kind = misc_ref[3]
-    u0b, v0b, u1b, v1b = misc_ref[4], misc_ref[5], misc_ref[6], misc_ref[7]
-    src_h = misc_ref[8].astype(jnp.int32)
-    src_w = misc_ref[9].astype(jnp.int32)
-    pad_h = misc_ref[10].astype(jnp.int32)   # DMA-padded source dims
-    pad_w = misc_ref[11].astype(jnp.int32)
-    C = src_ref.shape[0]
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    scale = misc_ref[b, 0]
+    cx = misc_ref[b, 1]
+    cy = misc_ref[b, 2]
+    kind = misc_ref[b, 3]
+    u0b, v0b = misc_ref[b, 4], misc_ref[b, 5]
+    u1b, v1b = misc_ref[b, 6], misc_ref[b, 7]
+    src_h = misc_ref[b, 8].astype(jnp.int32)
+    src_w = misc_ref[b, 9].astype(jnp.int32)
+    pad_h = misc_ref[b, 10].astype(jnp.int32)   # DMA-padded source dims
+    pad_w = misc_ref[b, 11].astype(jnp.int32)
+    C = src_ref.shape[1]
 
     # pano coords of this tile
     oy = (ti * TILE_H
@@ -94,9 +102,9 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
     Y = jnp.where(kind == 0, vs, jnp.where(kind == 1, cosv, vs))
     Z = jnp.where(kind == 0, cos_u,
                   jnp.where(kind == 1, sinv * cos_u, jnp.ones_like(us)))
-    px = mat_ref[0] * X + mat_ref[1] * Y + mat_ref[2] * Z
-    py = mat_ref[3] * X + mat_ref[4] * Y + mat_ref[5] * Z
-    pz = mat_ref[6] * X + mat_ref[7] * Y + mat_ref[8] * Z
+    px = mat_ref[b, 0] * X + mat_ref[b, 1] * Y + mat_ref[b, 2] * Z
+    py = mat_ref[b, 3] * X + mat_ref[b, 4] * Y + mat_ref[b, 5] * Z
+    pz = mat_ref[b, 6] * X + mat_ref[b, 7] * Y + mat_ref[b, 8] * Z
     ray_ok = pz > 0
     pzs = jnp.where(jnp.abs(pz) < 1e-12, 1e-12, pz)
     xs = px / pzs
@@ -125,11 +133,15 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
     sy0 = pl.multiple_of((sy0 // 8) * 8, 8)
     sx0 = pl.multiple_of((sx0 // 128) * 128, 128)
 
-    # slab DMA (all channels in one copy: planar source)
+    # slab DMA (all channels in one copy: planar source), skipped when the
+    # tile has no valid pixels (out-of-ROI tiles of the shared pano canvas)
     dma = pltpu.make_async_copy(
-        src_ref.at[:, pl.ds(sy0, SLAB_H), pl.ds(sx0, SLAB_W)],
+        src_ref.at[b, :, pl.ds(sy0, SLAB_H), pl.ds(sx0, SLAB_W)],
         slab_ref, sem)
-    dma.start()
+
+    @pl.when(any_ok)
+    def _():
+        dma.start()
 
     ly = ys - sy0.astype(jnp.float32)           # slab-local float coords
     lx = xs - sx0.astype(jnp.float32)
@@ -158,10 +170,13 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
     # the unneeded bulk of VSPAN x QSPAN is skipped at runtime
     vmax = jnp.max(jnp.where(ok, ly, -1.0))
     vspread = jnp.ceil(vmax).astype(jnp.int32) - rmin + 1   # rows needed
+    vspread = jnp.where(any_ok, vspread, 0)
     qmax = jnp.max(jnp.where(ok, qrel, -(2 ** 30)))
     qspread = qmax - qbase + 2                               # shifts needed
 
-    dma.wait()
+    @pl.when(any_ok)
+    def _():
+        dma.wait()
 
     # NOTE(perf): hat-sum formulation; a butterfly (binary-shift select)
     # gather would cut the per-pixel work to ~10 log-steps; follow-up.
@@ -202,8 +217,8 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
     # means a tap fell outside the window -> conservatively invalid
     valid = ok & (wsum > 0.99)
     for c in range(C):
-        out_ref[c] = jnp.where(valid, acc_ref[1 + c] / wsafe, 0.0)
-    valid_ref[...] = valid.astype(jnp.float32)
+        out_ref[0, c] = jnp.where(valid, acc_ref[1 + c] / wsafe, 0.0)
+    valid_ref[0] = valid.astype(jnp.float32)
 
 
 KIND_IDS = {"cylindrical": 0.0, "spherical": 1.0, "plane": 2.0}
@@ -211,44 +226,51 @@ KIND_IDS = {"cylindrical": 0.0, "spherical": 1.0, "plane": 2.0}
 
 @functools.partial(jax.jit,
                    static_argnames=("canvas_hw", "kind", "interpret"))
-def pallas_warp(img: jnp.ndarray, k_rinv: jnp.ndarray, scale,
-                corner: jnp.ndarray, roi_uv: jnp.ndarray,
-                canvas_hw: tuple[int, int], kind: str = "cylindrical",
-                interpret: bool = False):
-    """Warp (H, W, C) img into a (Hc, Wc) canvas at `corner` (x, y).
+def pallas_warp_batched(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
+                        corners: jnp.ndarray, roi_uvs: jnp.ndarray,
+                        canvas_hw: tuple[int, int],
+                        kind: str = "cylindrical",
+                        interpret: bool = False):
+    """Warp (N, H, W, C) imgs into N (Hc, Wc) canvases in ONE kernel launch.
 
-    k_rinv: (3, 3) K·R⁻¹ backward projection; roi_uv: (4,) [u0, v0, u1, v1]
-    ROI bounds on the surface. Returns (out (Hc, Wc, C), valid (Hc, Wc)).
+    k_rinvs: (N, 3, 3) K·R⁻¹ backward projections; corners: (N, 2) (x, y)
+    canvas origins in pano coords (pass the same shared corner N times to
+    warp directly into a shared pano frame); roi_uvs: (N, 4)
+    [u0, v0, u1, v1] per-image ROI bounds on the surface.
+    Returns (out (N, Hc, Wc, C), valid (N, Hc, Wc)).
     """
-    H, W = img.shape[:2]
+    N, H, W = imgs.shape[:3]
     Hc, Wc = canvas_hw
-    C = img.shape[2] if img.ndim == 3 else 1
-    planar = (img.astype(jnp.float32).reshape(H, W, C)
-              .transpose(2, 0, 1))                       # (C, H, W)
+    C = imgs.shape[3] if imgs.ndim == 4 else 1
+    planar = (imgs.astype(jnp.float32).reshape(N, H, W, C)
+              .transpose(0, 3, 1, 2))                    # (N, C, H, W)
     # pad the source to the DMA tiling and to slab capacity (tiny images)
     Hs = max(-(-H // 8) * 8, SLAB_H)
     Ws = max(-(-W // 128) * 128, SLAB_W)
     if (Hs, Ws) != (H, W):
-        planar = jnp.pad(planar, ((0, 0), (0, Hs - H), (0, Ws - W)))
+        planar = jnp.pad(planar, ((0, 0), (0, 0), (0, Hs - H), (0, Ws - W)))
 
     Hp = -(-Hc // TILE_H) * TILE_H
     Wp = -(-Wc // TILE_W) * TILE_W
-    grid = (Hp // TILE_H, Wp // TILE_W)
+    grid = (N, Hp // TILE_H, Wp // TILE_W)
 
-    mat = k_rinv.reshape(-1).astype(jnp.float32)
+    mats = k_rinvs.reshape(N, 9).astype(jnp.float32)
+    scales = jnp.broadcast_to(jnp.asarray(scale, jnp.float32).reshape(-1),
+                              (N,))[:, None]
     misc = jnp.concatenate([
-        jnp.asarray([scale], jnp.float32),
-        corner.astype(jnp.float32),
-        jnp.asarray([KIND_IDS[kind]], jnp.float32),
-        roi_uv.astype(jnp.float32),
-        jnp.asarray([H, W, Hs, Ws], jnp.float32),
-    ])
+        scales,
+        corners.astype(jnp.float32).reshape(N, 2),
+        jnp.full((N, 1), KIND_IDS[kind], jnp.float32),
+        roi_uvs.astype(jnp.float32).reshape(N, 4),
+        jnp.broadcast_to(jnp.asarray([H, W, Hs, Ws], jnp.float32), (N, 4)),
+    ], axis=1)                                            # (N, 12)
 
     # sequential_vmap: pallas_call's generic batching rule mangles the SMEM
-    # scalar specs (vmapped batched stitching would fail to lower); mapping
-    # batch members sequentially re-invokes the same compiled kernel
+    # scalar specs (an OUTER vmap over e.g. pair batches would fail to
+    # lower); mapping outer batch members sequentially re-invokes the same
+    # compiled kernel. The N images WITHIN one call batch via the grid.
     @jax.custom_batching.sequential_vmap
-    def call(mat, misc, planar):
+    def call(mats, misc, planar):
         return pl.pallas_call(
             _warp_kernel,
             grid=grid,
@@ -258,15 +280,15 @@ def pallas_warp(img: jnp.ndarray, k_rinv: jnp.ndarray, scale,
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=[
-                pl.BlockSpec((C, TILE_H, TILE_W),
-                             lambda i, j: (0, i, j),
+                pl.BlockSpec((1, C, TILE_H, TILE_W),
+                             lambda b, i, j: (b, 0, i, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                pl.BlockSpec((1, TILE_H, TILE_W), lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((C, Hp, Wp), jnp.float32),
-                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+                jax.ShapeDtypeStruct((N, C, Hp, Wp), jnp.float32),
+                jax.ShapeDtypeStruct((N, Hp, Wp), jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((C, SLAB_H, SLAB_W), jnp.float32),
@@ -275,11 +297,22 @@ def pallas_warp(img: jnp.ndarray, k_rinv: jnp.ndarray, scale,
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
-        )(mat, misc, planar)
+        )(mats, misc, planar)
 
-    out, valid = call(mat, misc, planar)
+    out, valid = call(mats, misc, planar)
 
-    out = out[:, :Hc, :Wc].transpose(1, 2, 0)
-    if img.ndim == 2:
+    out = out[:, :, :Hc, :Wc].transpose(0, 2, 3, 1)
+    if imgs.ndim == 3:
         out = out[..., 0]
-    return out, valid[:Hc, :Wc] > 0.5
+    return out, valid[:, :Hc, :Wc] > 0.5
+
+
+def pallas_warp(img: jnp.ndarray, k_rinv: jnp.ndarray, scale,
+                corner: jnp.ndarray, roi_uv: jnp.ndarray,
+                canvas_hw: tuple[int, int], kind: str = "cylindrical",
+                interpret: bool = False):
+    """Single-image wrapper over `pallas_warp_batched` (N = 1)."""
+    out, valid = pallas_warp_batched(
+        img[None], k_rinv[None], scale, corner[None], roi_uv[None],
+        canvas_hw, kind, interpret)
+    return out[0], valid[0]

@@ -35,33 +35,44 @@ def _shift_pad(x: jnp.ndarray, k: int, axis: int, fill) -> jnp.ndarray:
     return jnp.pad(x[tuple(sl)], pad, constant_values=fill)
 
 
-def _minplus_1d(d0: jnp.ndarray, axis: int) -> jnp.ndarray:
+def _minplus_1d(d0: jnp.ndarray, axis: int, max_dist: int | None = None
+                ) -> jnp.ndarray:
     """min_j (d0[j] + |i-j|) along `axis`, via Hillis–Steele doubling:
     D <- min(D, shift(D, ±2^t) + 2^t). Hand-rolled (log n unrolled shifted
     mins) instead of lax.associative_scan — the generic scan lowering
     compiled pathologically slowly (minutes) on large images, while this is
-    ~2·log n fused VPU passes."""
+    ~2·log n fused VPU passes.
+
+    With `max_dist`, the doubling stops once the covered window reaches
+    max_dist: distances <= max_dist stay EXACT (after steps 1..2^(t-1) the
+    result equals the true min over the |i-j| <= 2^t - 1 window), larger
+    ones become upper bounds — callers that clamp at max_dist see no
+    difference.
+    """
     axis = axis % d0.ndim
     n = d0.shape[axis]
     fwd = d0
     bwd = d0
     k = 1
-    while k < n:
+    limit = n if max_dist is None else min(n, max_dist + 1)
+    while k < limit:
         fwd = jnp.minimum(fwd, _shift_pad(fwd, k, axis, INF) + k)
         bwd = jnp.minimum(bwd, _shift_pad(bwd, -k, axis, INF) + k)
         k *= 2
     return jnp.minimum(fwd, bwd)
 
 
-def l1_distance_transform(mask: jnp.ndarray) -> jnp.ndarray:
+def l1_distance_transform(mask: jnp.ndarray, max_dist: int | None = None
+                          ) -> jnp.ndarray:
     """Per-pixel L1 distance to the nearest pixel OUTSIDE the mask.
 
     mask: (..., H, W) bool. Matches cv::distanceTransform(DIST_L1) semantics
     (zero outside the mask, >= 1 inside, measured to the mask complement —
     note OpenCV measures to the nearest zero pixel, giving interior pixels
-    distance >= 1 at the boundary).
+    distance >= 1 at the boundary). `max_dist` bounds the exact range (see
+    _minplus_1d): values above it are upper bounds >= max_dist.
     """
     d0 = jnp.where(mask, INF, 0.0)
-    d = _minplus_1d(d0, axis=-1)
-    d = _minplus_1d(d, axis=-2)
+    d = _minplus_1d(d0, axis=-1, max_dist=max_dist)
+    d = _minplus_1d(d, axis=-2, max_dist=max_dist)
     return jnp.minimum(d, INF)

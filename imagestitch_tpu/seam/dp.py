@@ -84,21 +84,22 @@ def dp_seam_path(cost: jnp.ndarray, chunk: int = 8) -> jnp.ndarray:
     rest = rest.reshape(-1, chunk, W)
 
     def fwd(m, e_rows):
-        ms, chs = [], []
+        chs = []
         for r in range(chunk):
             m, ch = step_one(m, e_rows[r])
-            ms.append(m)
             chs.append(ch)
-        return m, (jnp.stack(ms), jnp.stack(chs))
+        return m, jnp.stack(chs)
 
-    _, (M, choices) = lax.scan(fwd, e[0], rest)
-    M_flat = M.reshape(-1, W)
+    # only the choice rows are materialized (int8); the cost wavefront M
+    # lives in the carry — storing it per row cost a 60+ MB write at 1080p
+    # and the backtrack never reads it beyond the final row
+    m_last, choices = lax.scan(fwd, e[0], rest)
     choices = choices.reshape(-1, W)
 
     # start at the PADDED bottom: pad rows cost 0 everywhere, so its min
     # equals the min at row H-1 and backtracking through the pads lands on
     # an optimal column there
-    last = jnp.argmin(M_flat[-1]) if H > 1 else jnp.argmin(e[0])
+    last = jnp.argmin(m_last) if H > 1 else jnp.argmin(e[0])
 
     def back(col, ch_rows):
         cols = []
@@ -121,7 +122,7 @@ def dp_seam_path(cost: jnp.ndarray, chunk: int = 8) -> jnp.ndarray:
 
 def dp_seam_pair(img1: jnp.ndarray, img2: jnp.ndarray,
                  mask1: jnp.ndarray, mask2: jnp.ndarray,
-                 use_grad: bool = False):
+                 use_grad: bool = False, max_overlap_w: int | None = None):
     """Find the optimal vertical seam between two shared-frame images and
     split their masks along it (ref find/process :87-195 +
     updateLabelsUsingSeam :960-1093, reduced to the path split).
@@ -130,12 +131,26 @@ def dp_seam_pair(img1: jnp.ndarray, img2: jnp.ndarray,
     dynamically, so the caller need not order the pair). For vertically-
     arranged pairs, transpose inputs first.
 
+    `max_overlap_w`: static upper bound on the overlap width in columns.
+    When given (the pipeline passes ~1.3x the source width, which a
+    two-view overlap cannot exceed), the DP runs on a dynamic window of that
+    many columns around the overlap instead of the whole canvas — the scan
+    work drops proportionally.
+
     Returns (mask1', mask2', seam_cols (H,) int32).
     """
     H, W = mask1.shape
     both = mask1 & mask2
     cost = seam_costs(img1, img2, both, use_grad)
-    seam = dp_seam_path(cost)
+    if max_overlap_w is not None and max_overlap_w < W:
+        Wd = max_overlap_w
+        colhas = jnp.any(both, axis=0)
+        first = jnp.argmax(colhas).astype(jnp.int32)
+        x0 = jnp.clip(first - 8, 0, W - Wd)
+        cwin = jax.lax.dynamic_slice(cost, (jnp.int32(0), x0), (H, Wd))
+        seam = dp_seam_path(cwin) + x0
+    else:
+        seam = dp_seam_path(cost)
 
     xs = jnp.arange(W, dtype=jnp.float32)
     m1f = mask1.astype(jnp.float32)
