@@ -3,22 +3,37 @@
 The warp stage is the pipeline's hot op (SURVEY.md §3.4: buildMaps + remap).
 XLA lowers `remap` to a scalarized HBM gather (~4 ns/index → ~65 ms for a
 1080p cylindrical warp on v5e). This kernel exploits the SMOOTHNESS of
-rotation-warp backward maps: each (8, 128) output tile maps to a compact
-source slab, so per tile we
+rotation-warp backward maps: each (8, 128) output chunk maps to a compact
+source slab, so per chunk we
 
-  1. evaluate the backward map analytically on the tile's coordinates
+  1. evaluate the backward map analytically on the chunk's coordinates
      (VPU trig; matrices arrive in SMEM),
   2. DMA one (SLAB_H, SLAB_W) source slab from HBM at a dynamically
-     computed origin (the map is smooth ⇒ the slab covers the whole tile),
-  3. resolve bilinear sampling as dense hat-weighted sums over a small
-     vertical window (VSPAN rows at dynamic offsets — dynamic sublane
-     slices) and static lane shifts (QSPAN) — pure vector ALU work, ZERO
+     computed origin (the map is smooth ⇒ the slab covers the whole chunk),
+  3. resolve bilinear sampling as dense hat-weighted sums over the rows the
+     chunk actually needs (dynamic fori_loop bound) and a window of static
+     lane shifts (predicated KGROUP groups) — pure vector ALU work, ZERO
      gathers.
 
-Out-of-slab pixels (pathologically distorted tiles) and out-of-image pixels
-fall out with zero accumulated weight and are reported invalid, matching the
-XLA fallback's mask semantics. The same kernel runs under interpret mode on
-CPU for tests.
+Each grid step processes a SUPER-TILE of SUB_R × SUB_C chunks, for three
+reasons measured on v5e (round-2 profile: the one-chunk-per-step version
+spent 35 ms on a 2×1080p rotation warp, ~4 ms of which was the actual
+accumulation arithmetic):
+  - per-grid-step overhead amortizes over 8 chunks (11.7k steps → 1.5k);
+  - all 8 slab DMAs are issued BEFORE any chunk's accumulation starts, so
+    HBM latency overlaps compute (the one-chunk version started its DMA and
+    immediately waited on it);
+  - chunks fully outside the image's ROI skip even the map trig: the ROI
+    test is a rectangle test in pano (u, v) coords, which are affine in the
+    chunk indices, so corner evaluation is exact.
+
+Out-of-slab pixels (pathologically distorted chunks) and out-of-image
+pixels fall out with zero accumulated weight and are reported invalid,
+matching the XLA fallback's mask semantics. The vertical row window is a
+dynamically-bounded loop up to the full slab height (the round-1 kernel's
+static 16-row window silently invalidated pixels of strongly tilted maps
+whose chunk spanned more source rows). The same kernel runs under interpret
+mode on CPU for tests.
 """
 
 from __future__ import annotations
@@ -28,20 +43,28 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# output tile and source slab geometry
-TILE_H = 8
-TILE_W = 128
-SLAB_H = 32        # vertical slab capacity (source rows per tile)
-SLAB_W = 384       # horizontal slab capacity (source cols per tile)
-VSPAN = 16         # vertical hat window (rows actually summed)
+# chunk = the VPU-native working unit; super-tile = one grid step
+CHUNK_H = 8
+CHUNK_W = 128
+SUB_R = 2          # chunk rows per super-tile
+SUB_C = 4          # chunk cols per super-tile
+SUPER_H = SUB_R * CHUNK_H      # 16
+SUPER_W = SUB_C * CHUNK_W      # 512
+NCH = SUB_R * SUB_C
+SLAB_H = 48        # vertical slab capacity (source rows per chunk)
+SLAB_W = 384       # horizontal slab capacity (source cols per chunk)
 QSPAN = 48         # horizontal shift window (static lane shifts summed)
 KGROUP = 8         # k-shift group size for runtime predication
 # HBM DMA slice origins must be aligned to the (8, 128) tile grid (Mosaic
 # constraint); slabs are over-sized so quantizing the origin down still
-# covers the tile's source extent
+# covers the chunk's source extent
+
+# SMEM per-chunk scalar slots
+_S_ANYOK, _S_ROT, _S_RMIN, _S_VSPREAD, _S_QSPREAD, _S_SY0, _S_SX0 = range(7)
 
 
 def _hat(t):
@@ -49,22 +72,23 @@ def _hat(t):
 
 
 def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
-                 slab_ref, acc_ref, grp_ref, sem):
-    """One (TILE_H, TILE_W) output tile of image b.
+                 slabs_ref, tq_ref, lyv_ref, acc_ref, scal_ref,
+                 sems):
+    """One (SUPER_H, SUPER_W) super-tile of image b.
 
     mat_ref: SMEM (N, 9) float32 — k_rinv (row-major) per image
     misc_ref: SMEM (N, 12) float32 — [scale, corner_x, corner_y, kind,
               u0, v0, u1, v1, src_h, src_w, padded_h, padded_w] per image
     src_ref: HBM (N, C, H, W) planar float32 sources
-    out_ref: VMEM (1, C, TILE_H, TILE_W) warped tile
-    valid_ref: VMEM (1, TILE_H, TILE_W) float32 validity (1.0 valid)
-    slab_ref: VMEM (C, SLAB_H, SLAB_W) scratch
+    out_ref: VMEM (1, C, SUPER_H, SUPER_W) warped super-tile
+    valid_ref: VMEM (1, SUPER_H, SUPER_W) float32 validity (1.0 valid)
+    slabs_ref: VMEM (NCH, C, SLAB_H, SLAB_W) slab scratch (one per chunk)
+    tq_ref/lyv_ref: VMEM (NCH, CHUNK_H, CHUNK_W) per-pixel hat arguments
+    scal_ref: SMEM (NCH, 8) int32 per-chunk scalars
 
     The grid is (N, rows, cols): the batch index is a leading grid dim, so
     warping every image of a stitch (or a whole dispatch batch) is ONE
-    kernel launch. Tiles whose ROI test rejects every pixel (the common case
-    when warping directly into a wide shared pano canvas) skip their slab
-    DMA and the accumulation loops entirely — they only pay the map trig.
+    kernel launch.
     """
     b = pl.program_id(0)
     ti = pl.program_id(1)
@@ -81,144 +105,219 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
     pad_w = misc_ref[b, 11].astype(jnp.int32)
     C = src_ref.shape[1]
 
-    # pano coords of this tile
-    oy = (ti * TILE_H
-          + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0))
-    ox = (tj * TILE_W
-          + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1))
-    u = ox.astype(jnp.float32) + cx
-    v = oy.astype(jnp.float32) + cy
+    def chunk_dma(ch, sy0, sx0):
+        return pltpu.make_async_copy(
+            src_ref.at[b, :, pl.ds(sy0, SLAB_H), pl.ds(sx0, SLAB_W)],
+            slabs_ref.at[ch], sems.at[ch])
 
-    # backward map: surface point -> ray -> K R^-1 projection
-    us = u / scale
-    vs = v / scale
-    # kind: 0 cylindrical, 1 spherical, 2 plane (the pipeline's jit paths)
-    sin_u = jnp.sin(us)
-    cos_u = jnp.cos(us)
-    sinv = jnp.sin(jnp.pi - vs)
-    cosv = jnp.cos(jnp.pi - vs)
-    X = jnp.where(kind == 0, sin_u,
-                  jnp.where(kind == 1, sinv * sin_u, us))
-    Y = jnp.where(kind == 0, vs, jnp.where(kind == 1, cosv, vs))
-    Z = jnp.where(kind == 0, cos_u,
-                  jnp.where(kind == 1, sinv * cos_u, jnp.ones_like(us)))
-    px = mat_ref[b, 0] * X + mat_ref[b, 1] * Y + mat_ref[b, 2] * Z
-    py = mat_ref[b, 3] * X + mat_ref[b, 4] * Y + mat_ref[b, 5] * Z
-    pz = mat_ref[b, 6] * X + mat_ref[b, 7] * Y + mat_ref[b, 8] * Z
-    ray_ok = pz > 0
-    pzs = jnp.where(jnp.abs(pz) < 1e-12, 1e-12, pz)
-    xs = px / pzs
-    ys = py / pzs
+    # ---- phase 1: per-chunk map evaluation + slab DMA launch -------------
+    for ch in range(NCH):
+        sr, sc = divmod(ch, SUB_C)
+        ci = ti * SUPER_H + sr * CHUNK_H      # chunk origin in canvas rows
+        cj = tj * SUPER_W + sc * CHUNK_W
+        for k in range(scal_ref.shape[1]):
+            scal_ref[ch, k] = 0
 
-    in_roi = ((u >= u0b - 1.0) & (u <= u1b + 1.0)
-              & (v >= v0b - 1.0) & (v <= v1b + 1.0))
-    in_img = ((xs >= 0.0) & (xs <= src_w.astype(jnp.float32) - 1.0)
-              & (ys >= 0.0) & (ys <= src_h.astype(jnp.float32) - 1.0))
-    ok = ray_ok & in_roi & in_img
-    # coordinates for invalid pixels are pinned inside the slab so they
-    # can't blow up the slab origin computation
-    xs = jnp.where(ok, xs, jnp.float32(0.0))
-    ys = jnp.where(ok, ys, jnp.float32(0.0))
-    any_ok = jnp.any(ok)
-    xs_min = jnp.min(jnp.where(ok, xs, jnp.float32(3.0e38)))
-    ys_min = jnp.min(jnp.where(ok, ys, jnp.float32(3.0e38)))
-    xs_min = jnp.where(any_ok, xs_min, 0.0)
-    ys_min = jnp.where(any_ok, ys_min, 0.0)
+        # exact chunk-level ROI test: u depends only on the canvas column,
+        # v only on the row, both affinely — corner evaluation suffices
+        u_lo = cj.astype(jnp.float32) + cx
+        v_lo = ci.astype(jnp.float32) + cy
+        chunk_live = ((u_lo + CHUNK_W - 1 >= u0b - 1.0) & (u_lo <= u1b + 1.0)
+                      & (v_lo + CHUNK_H - 1 >= v0b - 1.0)
+                      & (v_lo <= v1b + 1.0))
 
-    sy0 = jnp.clip(jnp.floor(ys_min).astype(jnp.int32) - 1, 0,
-                   jnp.maximum(pad_h - SLAB_H, 0))
-    sx0 = jnp.clip(jnp.floor(xs_min).astype(jnp.int32) - 1, 0,
-                   jnp.maximum(pad_w - SLAB_W, 0))
-    # align DMA origin to the memref tiling (sublane 8, lane 128)
-    sy0 = pl.multiple_of((sy0 // 8) * 8, 8)
-    sx0 = pl.multiple_of((sx0 // 128) * 128, 128)
+        @pl.when(chunk_live)
+        def _(ch=ch, ci=ci, cj=cj):
+            oy = (ci + jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK_H, CHUNK_W), 0))
+            ox = (cj + jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK_H, CHUNK_W), 1))
+            u = ox.astype(jnp.float32) + cx
+            v = oy.astype(jnp.float32) + cy
 
-    # slab DMA (all channels in one copy: planar source), skipped when the
-    # tile has no valid pixels (out-of-ROI tiles of the shared pano canvas)
-    dma = pltpu.make_async_copy(
-        src_ref.at[b, :, pl.ds(sy0, SLAB_H), pl.ds(sx0, SLAB_W)],
-        slab_ref, sem)
+            # backward map: surface point -> ray -> K R^-1 projection
+            us = u / scale
+            vs = v / scale
+            # kind: 0 cylindrical, 1 spherical, 2 plane (jit pipeline paths)
+            sin_u = jnp.sin(us)
+            cos_u = jnp.cos(us)
+            sinv = jnp.sin(jnp.pi - vs)
+            cosv = jnp.cos(jnp.pi - vs)
+            X = jnp.where(kind == 0, sin_u,
+                          jnp.where(kind == 1, sinv * sin_u, us))
+            Y = jnp.where(kind == 0, vs, jnp.where(kind == 1, cosv, vs))
+            Z = jnp.where(kind == 0, cos_u,
+                          jnp.where(kind == 1, sinv * cos_u,
+                                    jnp.ones_like(us)))
+            px = mat_ref[b, 0] * X + mat_ref[b, 1] * Y + mat_ref[b, 2] * Z
+            py = mat_ref[b, 3] * X + mat_ref[b, 4] * Y + mat_ref[b, 5] * Z
+            pz = mat_ref[b, 6] * X + mat_ref[b, 7] * Y + mat_ref[b, 8] * Z
+            ray_ok = pz > 0
+            pzs = jnp.where(jnp.abs(pz) < 1e-12, 1e-12, pz)
+            xs = px / pzs
+            ys = py / pzs
 
-    @pl.when(any_ok)
-    def _():
-        dma.start()
+            in_roi = ((u >= u0b - 1.0) & (u <= u1b + 1.0)
+                      & (v >= v0b - 1.0) & (v <= v1b + 1.0))
+            in_img = ((xs >= 0.0) & (xs <= src_w.astype(jnp.float32) - 1.0)
+                      & (ys >= 0.0) & (ys <= src_h.astype(jnp.float32) - 1.0))
+            ok = ray_ok & in_roi & in_img
+            any_ok = jnp.any(ok)
+            xs_min = jnp.min(jnp.where(ok, xs, jnp.float32(3.0e38)))
+            ys_min = jnp.min(jnp.where(ok, ys, jnp.float32(3.0e38)))
+            xs_min = jnp.where(any_ok, xs_min, 0.0)
+            ys_min = jnp.where(any_ok, ys_min, 0.0)
 
-    ly = ys - sy0.astype(jnp.float32)           # slab-local float coords
-    lx = xs - sx0.astype(jnp.float32)
-    # pathologically distorted tiles can exceed the slab; those pixels are
-    # conservatively invalidated (weights forced to zero)
-    fits = (lx <= SLAB_W - 2.0) & (ly <= SLAB_H - 2.0)
-    ok = ok & fits
-    lx = jnp.where(fits, lx, -10.0)
-    ly = jnp.where(fits, ly, -10.0)
+            sy0 = jnp.clip(jnp.floor(ys_min).astype(jnp.int32) - 1, 0,
+                           jnp.maximum(pad_h - SLAB_H, 0))
+            sx0 = jnp.clip(jnp.floor(xs_min).astype(jnp.int32) - 1, 0,
+                           jnp.maximum(pad_w - SLAB_W, 0))
+            # align DMA origin to the memref tiling (sublane 8, lane 128)
+            sy0 = pl.multiple_of((sy0 // 8) * 8, 8)
+            sx0 = pl.multiple_of((sx0 // 128) * 128, 128)
 
-    # vertical window base (per tile)
-    rmin = jnp.clip(jnp.floor(jnp.min(jnp.where(ok, ly, 3.0e38))
-                              ).astype(jnp.int32),
-                    0, SLAB_H - VSPAN)
-    rmin = jnp.where(any_ok, rmin, 0)
-    # horizontal: lane j of the rolled row holds slab column qbase + j + k
-    jlane = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-    qrel = jnp.floor(lx).astype(jnp.int32) - jlane
-    qbase = jnp.min(jnp.where(ok, qrel, jnp.int32(2 ** 30)))
-    qbase = jnp.where(any_ok, qbase, 0)
-    qbase = jnp.clip(qbase, -(SLAB_W - 1), SLAB_W - 1)
+            ly = ys - sy0.astype(jnp.float32)   # slab-local float coords
+            lx = xs - sx0.astype(jnp.float32)
+            # pathologically distorted chunks can exceed the slab; those
+            # pixels are conservatively invalidated, like the XLA fallback's
+            # out-of-image pixels (weights pinned to zero)
+            ok = ok & (lx <= SLAB_W - 2.0) & (ly <= SLAB_H - 2.0)
+            # invalid pixels get hat arguments far outside the support so
+            # they accumulate exactly zero weight -> reported invalid
+            lx = jnp.where(ok, lx, -10.0)
+            ly = jnp.where(ok, ly, -10.0)
 
-    # per-tile ACTUAL spans: most tiles of a realistic warp need only a few
-    # vertical rows and horizontal shifts (large-focal cylindrical maps are
-    # near-identity) — the window loops below are predicated per group so
-    # the unneeded bulk of VSPAN x QSPAN is skipped at runtime
-    vmax = jnp.max(jnp.where(ok, ly, -1.0))
-    vspread = jnp.ceil(vmax).astype(jnp.int32) - rmin + 1   # rows needed
-    vspread = jnp.where(any_ok, vspread, 0)
-    qmax = jnp.max(jnp.where(ok, qrel, -(2 ** 30)))
-    qspread = qmax - qbase + 2                               # shifts needed
+            rmin = jnp.clip(jnp.floor(jnp.min(jnp.where(ok, ly, 3.0e38))
+                                      ).astype(jnp.int32), 0, SLAB_H - 1)
+            rmin = jnp.where(any_ok, rmin, 0)
+            vmax = jnp.max(jnp.where(ok, ly, -1.0))
+            vspread = jnp.ceil(vmax).astype(jnp.int32) - rmin + 1
+            vspread = jnp.clip(jnp.where(any_ok, vspread, 0),
+                               0, SLAB_H - rmin)
 
-    @pl.when(any_ok)
-    def _():
-        dma.wait()
+            # lane j of the rolled slab holds slab column qbase + j + k
+            jlane = jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK_H, CHUNK_W), 1)
+            qrel = jnp.floor(lx).astype(jnp.int32) - jlane
+            qbase = jnp.min(jnp.where(ok, qrel, jnp.int32(2 ** 30)))
+            qbase = jnp.where(any_ok, qbase, 0)
+            qbase = jnp.clip(qbase, -(SLAB_W - 1), SLAB_W - 1)
+            qmax = jnp.max(jnp.where(ok, qrel, -(2 ** 30)))
+            qspread = jnp.clip(qmax - qbase + 2, 0, QSPAN)
 
-    # NOTE(perf): hat-sum formulation; a butterfly (binary-shift select)
-    # gather would cut the per-pixel work to ~10 log-steps; follow-up.
-    rot = jnp.mod(-qbase, SLAB_W)  # Mosaic dynamic rotate needs nonneg shift
-    t = lx - (qbase + jlane).astype(jnp.float32)          # hoisted h-arg
+            scal_ref[ch, _S_ANYOK] = any_ok.astype(jnp.int32)
+            scal_ref[ch, _S_ROT] = jnp.mod(-qbase, SLAB_W)
+            scal_ref[ch, _S_RMIN] = rmin
+            scal_ref[ch, _S_VSPREAD] = vspread
+            scal_ref[ch, _S_QSPREAD] = qspread
+            scal_ref[ch, _S_SY0] = sy0
+            scal_ref[ch, _S_SX0] = sx0
+            tq_ref[ch] = lx - (qbase + jlane).astype(jnp.float32)
+            lyv_ref[ch] = ly - rmin.astype(jnp.float32)
 
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-    grp_ref[...] = jnp.zeros_like(grp_ref)
-    for dr in range(VSPAN):
-        @pl.when(dr < vspread)
-        def _(dr=dr):
-            r = rmin + dr
-            wv = _hat(ly - r.astype(jnp.float32))         # (TH, TW)
-            rows = [pltpu.roll(slab_ref[c, pl.ds(r, 1), :], rot, axis=1)
-                    for c in range(C)]                    # (1, SLAB_W)
-            for kg in range(0, QSPAN, KGROUP):
-                @pl.when(kg < qspread)
-                def _(kg=kg, rows=rows):
-                    ha = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-                    hc = [jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            @pl.when(any_ok)
+            def _():
+                chunk_dma(ch, sy0, sx0).start()
+
+    # ---- phase 2: accumulate each chunk (DMAs already in flight) --------
+    for ch in range(NCH):
+        sr, sc = divmod(ch, SUB_C)
+        any_ok = scal_ref[ch, _S_ANYOK] == 1
+        rot = scal_ref[ch, _S_ROT]
+        rmin = scal_ref[ch, _S_RMIN]
+        vspread = scal_ref[ch, _S_VSPREAD]
+        qspread = scal_ref[ch, _S_QSPREAD]
+
+        @pl.when(any_ok)
+        def _(ch=ch):
+            # re-assert DMA-origin alignment (lost via the SMEM round-trip)
+            chunk_dma(ch,
+                      pl.multiple_of(scal_ref[ch, _S_SY0], 8),
+                      pl.multiple_of(scal_ref[ch, _S_SX0], 128)).wait()
+            # one whole-slab roll per channel (the round-1 kernel rolled
+            # every row separately: vspread × C dynamic rolls per chunk)
+            for c in range(C):
+                slabs_ref[ch, c] = pltpu.roll(slabs_ref[ch, c], rot, axis=1)
+
+        t = tq_ref[ch][...]
+        lyv = lyv_ref[ch][...]
+
+        # Register-carried accumulation, specialized by horizontal span.
+        # A one-row-per-iteration loop with per-group pl.when predication
+        # and VMEM read-modify-write accumulators spent ~21 ms of a 25 ms
+        # rotation-scene warp on loop/branch/RMW overhead (the arithmetic
+        # is ~4 ms): here the fori_loop body is straight-line vector code
+        # with the accumulators as loop carries (vregs), and the shift-
+        # window size is a per-chunk STATIC choice among four
+        # specializations (measured qspread on 1080p rotation scenes:
+        # median ~10, p90 ~28), selected by one scalar predicate each.
+        def run_span(nk, rb, ch=ch, rmin=rmin, vspread=vspread,
+                     t=t, lyv=lyv):
+            def vbody(it, carry):
+                accs = list(carry)
+                # rows past vspread contribute exactly zero: lyv max is
+                # < vspread, so hat(lyv - dr) vanishes for dr >= vspread
+                # and the last block may overshoot vspread freely. A row
+                # index past the slab end is clamped (this only happens
+                # for dr >= vspread, whose weight is already zero — the
+                # clamp just keeps the load in bounds).
+                for rr in range(rb):
+                    dr = it * rb + rr
+                    r = jnp.minimum(rmin + dr, SLAB_H - 1)
+                    wv = _hat(lyv - dr.astype(jnp.float32))
+                    rows = [slabs_ref[ch, c, pl.ds(r, 1), :]
+                            for c in range(C)]
+                    ha = jnp.zeros((CHUNK_H, CHUNK_W), jnp.float32)
+                    hc = [jnp.zeros((CHUNK_H, CHUNK_W), jnp.float32)
                           for _ in range(C)]
-                    for k in range(kg, kg + KGROUP):
+                    for k in range(nk):
                         wh = _hat(t - k)
                         ha = ha + wh
                         for c in range(C):
-                            hc[c] = hc[c] + wh * rows[c][:, k:k + TILE_W]
-                    grp_ref[0] = grp_ref[0] + ha
+                            hc[c] = hc[c] + wh * rows[c][:, k:k + CHUNK_W]
+                    accs[0] = accs[0] + wv * ha
                     for c in range(C):
-                        grp_ref[1 + c] = grp_ref[1 + c] + hc[c]
-            acc_ref[0] = acc_ref[0] + wv * grp_ref[0]
-            for c in range(C):
-                acc_ref[1 + c] = acc_ref[1 + c] + wv * grp_ref[1 + c]
-            grp_ref[...] = jnp.zeros_like(grp_ref)
+                        accs[1 + c] = accs[1 + c] + wv * hc[c]
+                return tuple(accs)
 
-    wsum = acc_ref[0]
-    wsafe = jnp.where(wsum > 1e-6, wsum, 1.0)
-    # interior pixels accumulate exactly 1.0 total weight; anything less
-    # means a tap fell outside the window -> conservatively invalid
-    valid = ok & (wsum > 0.99)
-    for c in range(C):
-        out_ref[0, c] = jnp.where(valid, acc_ref[1 + c] / wsafe, 0.0)
-    valid_ref[0] = valid.astype(jnp.float32)
+            zeros = tuple(jnp.zeros((CHUNK_H, CHUNK_W), jnp.float32)
+                          for _ in range(C + 1))
+            trip = (vspread + rb - 1) // rb
+            out = lax.fori_loop(0, trip, vbody, zeros)
+            for i in range(C + 1):
+                acc_ref[i] = out[i]
+
+        # dead chunks (any_ok false) have vspread 0: every variant's loop
+        # runs zero iterations and acc stays zero. Exactly one branch of
+        # the ladder fires per chunk.
+        @pl.when(qspread <= KGROUP)
+        def _():
+            run_span(KGROUP, 4)
+
+        @pl.when((qspread > KGROUP) & (qspread <= 2 * KGROUP))
+        def _():
+            run_span(2 * KGROUP, 4)
+
+        @pl.when((qspread > 2 * KGROUP) & (qspread <= 4 * KGROUP))
+        def _():
+            run_span(4 * KGROUP, 2)
+
+        @pl.when(qspread > 4 * KGROUP)
+        def _():
+            run_span(QSPAN, 2)
+
+        wsum = acc_ref[0]
+        wsafe = jnp.where(wsum > 1e-6, wsum, 1.0)
+        # interior pixels accumulate exactly 1.0 total weight; anything less
+        # means a tap fell outside the window -> conservatively invalid
+        # (invalid pixels' hat arguments are pinned at -10 -> wsum 0)
+        valid = wsum > 0.99
+        ys0, ys1 = sr * CHUNK_H, (sr + 1) * CHUNK_H
+        xs0, xs1 = sc * CHUNK_W, (sc + 1) * CHUNK_W
+        for c in range(C):
+            out_ref[0, c, ys0:ys1, xs0:xs1] = jnp.where(
+                valid, acc_ref[1 + c] / wsafe, 0.0)
+        valid_ref[0, ys0:ys1, xs0:xs1] = valid.astype(jnp.float32)
 
 
 KIND_IDS = {"cylindrical": 0.0, "spherical": 1.0, "plane": 2.0}
@@ -250,9 +349,9 @@ def pallas_warp_batched(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
     if (Hs, Ws) != (H, W):
         planar = jnp.pad(planar, ((0, 0), (0, 0), (0, Hs - H), (0, Ws - W)))
 
-    Hp = -(-Hc // TILE_H) * TILE_H
-    Wp = -(-Wc // TILE_W) * TILE_W
-    grid = (N, Hp // TILE_H, Wp // TILE_W)
+    Hp = -(-Hc // SUPER_H) * SUPER_H
+    Wp = -(-Wc // SUPER_W) * SUPER_W
+    grid = (N, Hp // SUPER_H, Wp // SUPER_W)
 
     mats = k_rinvs.reshape(N, 9).astype(jnp.float32)
     scales = jnp.broadcast_to(jnp.asarray(scale, jnp.float32).reshape(-1),
@@ -280,10 +379,11 @@ def pallas_warp_batched(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=[
-                pl.BlockSpec((1, C, TILE_H, TILE_W),
+                pl.BlockSpec((1, C, SUPER_H, SUPER_W),
                              lambda b, i, j: (b, 0, i, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TILE_H, TILE_W), lambda b, i, j: (b, i, j),
+                pl.BlockSpec((1, SUPER_H, SUPER_W),
+                             lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
@@ -291,10 +391,12 @@ def pallas_warp_batched(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
                 jax.ShapeDtypeStruct((N, Hp, Wp), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((C, SLAB_H, SLAB_W), jnp.float32),
-                pltpu.VMEM((C + 1, TILE_H, TILE_W), jnp.float32),
-                pltpu.VMEM((C + 1, TILE_H, TILE_W), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((NCH, C, SLAB_H, SLAB_W), jnp.float32),
+                pltpu.VMEM((NCH, CHUNK_H, CHUNK_W), jnp.float32),
+                pltpu.VMEM((NCH, CHUNK_H, CHUNK_W), jnp.float32),
+                pltpu.VMEM((C + 1, CHUNK_H, CHUNK_W), jnp.float32),
+                pltpu.SMEM((NCH, 8), jnp.int32),
+                pltpu.SemaphoreType.DMA((NCH,)),
             ],
             interpret=interpret,
         )(mats, misc, planar)
