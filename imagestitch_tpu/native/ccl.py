@@ -23,13 +23,14 @@ _tried = False
 
 
 _SRC_MAXFLOW = os.path.join(_HERE, "maxflow.cpp")
+_SRC_SEAMDUAL = os.path.join(_HERE, "seamdual.cpp")
 
 
 def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", _SRC, _SRC_MAXFLOW,
-             "-o", _SO],
+             _SRC_SEAMDUAL, "-o", _SO],
             check=True, capture_output=True, timeout=180)
         return True
     except Exception:
@@ -43,7 +44,8 @@ def _load():
             return _lib
         _tried = True
         newest_src = max(os.path.getmtime(_SRC),
-                         os.path.getmtime(_SRC_MAXFLOW))
+                         os.path.getmtime(_SRC_MAXFLOW),
+                         os.path.getmtime(_SRC_SEAMDUAL))
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest_src:
             if not _build():
                 return None
@@ -61,6 +63,11 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_uint8, ctypes.c_uint8]
         lib.grid_maxflow.restype = ctypes.c_double
         lib.grid_maxflow.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.band_dijkstra.restype = ctypes.c_double
+        lib.band_dijkstra.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8)]
@@ -192,3 +199,29 @@ def grid_maxflow(tcap: np.ndarray, ecap: np.ndarray):
         e.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w,
         lab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return lab, float(flow)
+
+
+def band_dijkstra(vcost: np.ndarray, hcost: np.ndarray):
+    """Exact min-cut of a vertical seam corridor via the planar dual
+    (native seamdual.cpp): Dijkstra over the (H+1) x (W+1) pixel-corner
+    lattice.
+
+    vcost: (H, W+1) float32 — cost of cutting between pixels (y, x-1) and
+    (y, x) (corner column x); hcost: (H+1, W) float32 — cost of cutting
+    between pixels (y-1, x) and (y, x) (corner row y).
+    Returns (crossings (H, W+1) uint8 — 1 where the cut separates pixel
+    x-1 from x in row y, total cut cost). Requires the native library."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native seamdual unavailable (g++ missing?)")
+    v = np.ascontiguousarray(vcost, np.float32)
+    hh = np.ascontiguousarray(hcost, np.float32)
+    h = v.shape[0]
+    w = v.shape[1] - 1
+    assert hh.shape == (h + 1, w), (v.shape, hh.shape)
+    cr = np.zeros((h, w + 1), np.uint8)
+    cost = lib.band_dijkstra(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        hh.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w,
+        cr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return cr, float(cost)
