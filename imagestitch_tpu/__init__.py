@@ -54,7 +54,9 @@ from imagestitch_tpu.config import (
     PipelineConfig,
 )
 from imagestitch_tpu.types import ImageFeatures, MatchesInfo, CameraParams
-from imagestitch_tpu.pipeline import Stitcher, stitch, stitch_pair
+from imagestitch_tpu.pipeline import (
+    Stitcher, stitch, stitch_pair, stitch_chain)
+from imagestitch_tpu.stream import StreamStitcher
 
 __all__ = [
     "DetectorConfig",
@@ -72,5 +74,7 @@ __all__ = [
     "Stitcher",
     "stitch",
     "stitch_pair",
+    "stitch_chain",
+    "StreamStitcher",
     "__version__",
 ]

@@ -19,13 +19,17 @@ from imagestitch_tpu.seam.dp import dp_seam_pair, ramp_weights
 
 def ramp_blend_pair(img1: jnp.ndarray, img2: jnp.ndarray,
                     mask1: jnp.ndarray, mask2: jnp.ndarray,
-                    use_grad: bool = False):
+                    use_grad: bool = False,
+                    max_overlap_w: int | None = None):
     """Blend two shared-frame canvases with seam-anchored ramp weights.
 
+    use_grad/max_overlap_w thread through to the DP seam (the pipeline
+    passes cfg.seam.kind's cost and its overlap window bound).
     Returns ((H, W, C), (H, W) bool, seam_cols (H,) int32).
     """
     both = mask1 & mask2
-    _, _, seam = dp_seam_pair(img1, img2, mask1, mask2, use_grad)
+    _, _, seam = dp_seam_pair(img1, img2, mask1, mask2, use_grad,
+                              max_overlap_w=max_overlap_w)
 
     w1 = ramp_weights(both, seam)                           # left-image weight
     # orient: ramp_weights assumes img1 is the left image; flip if not

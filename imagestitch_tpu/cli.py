@@ -24,9 +24,11 @@ def _build_config(args) -> "PipelineConfig":
     cfg = PipelineConfig()
     return cfg.replace(
         warp=WarpConfig(kind=args.warp),
-        seam=SeamConfig(kind=args.seam),
+        seam=SeamConfig(kind=args.seam,
+                        full_components=args.full_seam_components),
         blend=BlendConfig(kind=args.blend),
         exposure=ExposureConfig(kind=args.exposure),
+        work_megapix=args.work_megapix,
     )
 
 
@@ -50,7 +52,16 @@ def main(argv=None):
                                 "graphcut", "none"])
         q.add_argument("--blend", default="feather",
                        choices=["feather", "multiband", "ramp", "none"])
-        q.add_argument("--exposure", default="gain", choices=["gain", "none"])
+        q.add_argument("--exposure", default="gain",
+                       choices=["gain", "gain_blocks", "none"])
+        q.add_argument("--work_megapix", type=float, default=-1.0,
+                       help="registration at this many megapixels "
+                            "(<=0: full resolution), compositing at full "
+                            "resolution — OpenCV stitching_detailed "
+                            "semantics")
+        q.add_argument("--full_seam_components", action="store_true",
+                       help="full DpSeamFinder component machinery on the "
+                            "host (dp_* seam kinds)")
         q.add_argument("--seed", type=int, default=0)
         q.add_argument("--metrics", action="store_true",
                        help="print the metrics dict as JSON")

@@ -38,7 +38,7 @@ class DetectorConfig:
     nlevels: int = 5
     edge_threshold: int = 31
     first_level: int = 0
-    wta_k: int = 2                # 2 -> 1-bit BRIEF comparisons (ref default)
+    wta_k: int = 2                # 2|3|4 (ref :329-415); 3/4 = 2-bit codes
     patch_size: int = 31
     fast_threshold: int = 20
     harris_block_size: int = 7
@@ -54,7 +54,7 @@ class DetectorConfig:
     per_level_overretain: float = 2.0  # FAST over-retention before Harris cull
 
     def __post_init__(self):
-        assert self.wta_k == 2, "only wta_k=2 (binary BRIEF) is implemented"
+        assert self.wta_k in (2, 3, 4), "wta_k can be only 2, 3 or 4"
 
 
 @dataclass(frozen=True)
@@ -115,7 +115,8 @@ class ExposureConfig:
     """Gain exposure compensation (stock ExposureCompensator::GAIN,
     ref 特征点检测.cpp:1114-1121)."""
 
-    kind: str = "gain"            # gain|none
+    kind: str = "gain"            # gain|gain_blocks|none
+    block_size: int = 32          # gain_blocks cell size (OpenCV default)
 
 
 @dataclass(frozen=True)
@@ -125,6 +126,11 @@ class SeamConfig:
 
     kind: str = "dp_color"  # dp_color|dp_colorgrad|voronoi|graphcut|none
     dilate_kernel: int = 20       # ref 特征点检测.cpp:1164 (20x20 rect dilate)
+    # full reference DpSeamFinder machinery (component labeling, conflict
+    # resolution, seam tips, horizontal+vertical seams — ref 动态规划....cpp
+    # :196-1093) on the host via native CCL, instead of the fast on-device
+    # windowed scan DP. Applies to dp_color/dp_colorgrad kinds.
+    full_components: bool = False
 
 
 @dataclass(frozen=True)

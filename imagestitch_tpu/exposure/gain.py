@@ -22,6 +22,7 @@ the round-1 pipeline); the unrolled form is pure fused multiply-reduces.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from imagestitch_tpu.blend.frame import shift_to_frame
@@ -83,3 +84,78 @@ def gain_compensate(images: jnp.ndarray, masks: jnp.ndarray,
                       jnp.ones_like(gains))
     out = images * gains[:, None, None, None]
     return gains, out
+
+
+def gain_compensate_blocks(images: jnp.ndarray, masks: jnp.ndarray,
+                           block: int = 32, alpha: float = 0.01,
+                           beta: float = 100.0, smooth_iters: int = 1):
+    """Per-block gain compensation (OpenCV BlocksGainCompensator,
+    GAIN_BLOCKS): each image splits into `block`-pixel cells; every cell is
+    an independent Brown-Lowe gain problem over the N images (in the
+    shared-frame layout a cell only overlaps the SAME cell of other images,
+    so OpenCV's (N·B)x(N·B) system block-diagonalizes into B batched NxN
+    solves — one vmapped linalg.solve); the per-image gain maps are 3x3
+    Gaussian-smoothed and bilinearly upsampled (the MXU resize) before
+    applying per pixel.
+
+    images: (N, H, W, C) shared-frame canvases; masks: (N, H, W) bool.
+    Returns (gain maps (N, H, W), compensated images).
+    """
+    from imagestitch_tpu.ops.pyramid import resize_linear_mxu
+
+    N, H, W = images.shape[:3]
+    if N == 1:
+        return jnp.ones((1, H, W), jnp.float32), images
+    m = masks.astype(jnp.float32)
+    grays = rgb_to_gray(images) if images.ndim == 4 else images
+
+    By = -(-H // block)
+    Bx = -(-W // block)
+    Hp, Wp = By * block, Bx * block
+
+    def blocksum(x):                      # (H, W) -> (By, Bx)
+        xp = jnp.pad(x, ((0, Hp - H), (0, Wp - W)))
+        return xp.reshape(By, block, Bx, block).sum(axis=(1, 3))
+
+    B = By * Bx
+    zero = jnp.zeros((B,), jnp.float32)
+    n_mat = [[zero] * N for _ in range(N)]     # per-cell overlap counts
+    s_mat = [[zero] * N for _ in range(N)]     # per-cell Σ gray over overlap
+    for i in range(N):
+        for j in range(i + 1, N):
+            both = m[i] * m[j]
+            nb = blocksum(both).reshape(-1)
+            n_mat[i][j] = n_mat[j][i] = nb
+            s_mat[i][j] = blocksum(grays[i] * both).reshape(-1)
+            s_mat[j][i] = blocksum(grays[j] * both).reshape(-1)
+
+    n_p = jnp.stack([jnp.stack(r) for r in n_mat])          # (N, N, B)
+    s_p = jnp.stack([jnp.stack(r) for r in s_mat])
+    n_p = jnp.moveaxis(n_p, -1, 0)                          # (B, N, N)
+    s_p = jnp.moveaxis(s_p, -1, 0)
+    I = s_p / jnp.maximum(n_p, 1.0)
+
+    off = (1.0 - jnp.eye(N, dtype=jnp.float32))[None]
+    b = beta * jnp.sum(n_p, axis=2)                         # (B, N)
+    diag = (beta * jnp.sum(n_p, axis=2)
+            + 2.0 * alpha * jnp.sum(I * I * n_p * off, axis=2))
+    A = (jax.vmap(jnp.diag)(diag)
+         - 2.0 * alpha * I * jnp.swapaxes(I, 1, 2) * n_p * off)
+    # cells with no overlap anywhere have singular systems -> identity gain
+    ridge = 1e-6 * jnp.eye(N, dtype=jnp.float32)[None]
+    gains = jnp.linalg.solve(A + ridge, b[..., None])[..., 0]   # (B, N)
+    gains = jnp.where(jnp.isfinite(gains) & (jnp.sum(n_p, 2) > 0),
+                      gains, 1.0)
+    gmap = jnp.moveaxis(gains.reshape(By, Bx, N), -1, 0)    # (N, By, Bx)
+
+    # 3x3 binomial smoothing (OpenCV's Gaussian kernel on the gain map)
+    k = jnp.asarray([0.25, 0.5, 0.25], jnp.float32)
+    for _ in range(smooth_iters):
+        gp = jnp.pad(gmap, ((0, 0), (1, 1), (1, 1)), mode="edge")
+        gmap = sum(k[a] * k[bb] * gp[:, a:a + By, bb:bb + Bx]
+                   for a in range(3) for bb in range(3))
+
+    up = jax.vmap(lambda g: resize_linear_mxu(g, (Hp, Wp)))(gmap)
+    up = up[:, :H, :W]
+    out = images * (up[..., None] if images.ndim == 4 else up)
+    return up, out

@@ -26,7 +26,8 @@ from imagestitch_tpu.config import DetectorConfig
 from imagestitch_tpu.ops.image import gaussian_blur
 from imagestitch_tpu.ops.pyramid import build_pyramid, level_scale
 from imagestitch_tpu.features.fast import fast_score_map, harris_map, nms3x3
-from imagestitch_tpu.features.pattern import brief_pattern, ic_angle_offsets
+from imagestitch_tpu.features.pattern import (
+    brief_pattern, ic_angle_offsets, orb_tuple_pattern)
 from imagestitch_tpu.types import ImageFeatures
 
 
@@ -68,30 +69,64 @@ def _ic_angles(img: jnp.ndarray, xk: jnp.ndarray, yk: jnp.ndarray,
     return jnp.arctan2(m01, m10)
 
 
-def _orb_descriptors(blurred: jnp.ndarray, xk: jnp.ndarray, yk: jnp.ndarray,
-                     angles: jnp.ndarray, cfg: DetectorConfig) -> jnp.ndarray:
-    """256-bit rotated BRIEF (ref computeOrbDescriptors :287-419, wta_k=2).
-
-    Sample points are rotated by the keypoint angle and rounded to integers
-    (the reference's GET_VALUE :313-318: cvRound(x·cosθ − y·sinθ) etc.),
-    gathered from the σ=2-blurred level image, and compared pairwise.
-    Returns (K, 256) uint8 bits.
-    """
-    pat = jnp.asarray(brief_pattern(256, cfg.patch_size), jnp.float32)  # (512,2)
+def _rotated_gather(blurred: jnp.ndarray, xk: jnp.ndarray, yk: jnp.ndarray,
+                    angles: jnp.ndarray, pat: jnp.ndarray) -> jnp.ndarray:
+    """Gather pattern samples rotated by each keypoint's angle (the
+    reference's GET_VALUE :313-318: cvRound(x·cosθ − y·sinθ) etc.) from the
+    σ=2-blurred level image. pat: (P, 2) float32. Returns (K, P)."""
     ca = jnp.cos(angles)[:, None]
     sa = jnp.sin(angles)[:, None]
     px = pat[None, :, 0]
     py = pat[None, :, 1]
-    rx = jnp.round(px * ca - py * sa).astype(jnp.int32)   # (K, 512)
+    rx = jnp.round(px * ca - py * sa).astype(jnp.int32)   # (K, P)
     ry = jnp.round(px * sa + py * ca).astype(jnp.int32)
-
     H, W = blurred.shape
     xi = jnp.clip(xk[:, None] + rx, 0, W - 1)
     yi = jnp.clip(yk[:, None] + ry, 0, H - 1)
-    vals = blurred.reshape(-1)[yi * W + xi]               # (K, 512)
-    t0 = vals[:, 0::2]
-    t1 = vals[:, 1::2]
-    return (t0 < t1).astype(jnp.uint8)                    # (K, 256)
+    return blurred.reshape(-1)[yi * W + xi]               # (K, P)
+
+
+def _orb_descriptors(blurred: jnp.ndarray, xk: jnp.ndarray, yk: jnp.ndarray,
+                     angles: jnp.ndarray, cfg: DetectorConfig) -> jnp.ndarray:
+    """Rotated BRIEF descriptors (ref computeOrbDescriptors :287-419), all
+    three wta_k modes:
+
+      wta_k=2: 256 pairwise comparisons -> (K, 256) {0,1} bits (ref
+               :329-352).
+      wta_k=3: 128 triples, 2-bit argmax-ish codes (ref :354-371 — exact
+               transcription of `t2 > t1 ? (t2 > t0 ? 2 : 0) : (t1 > t0)`).
+      wta_k=4: 128 quadruples, 2-bit argmax codes (ref :373-414).
+
+    Symbol codes are stored ONE-HOT: (K, 128·wta_k) {0,1} bytes. Hamming
+    distance on the one-hot bits equals exactly 2× OpenCV's NORM_HAMMING2
+    symbol distance — a monotone rescaling, so the MXU Hamming-matmul
+    matching stack (matching.hamming) applies unchanged to every mode.
+    """
+    if cfg.wta_k == 2:
+        pat = jnp.asarray(brief_pattern(256, cfg.patch_size), jnp.float32)
+        vals = _rotated_gather(blurred, xk, yk, angles, pat)   # (K, 512)
+        return (vals[:, 0::2] < vals[:, 1::2]).astype(jnp.uint8)
+
+    ntuples = 128
+    pat = jnp.asarray(
+        orb_tuple_pattern(cfg.wta_k, ntuples, cfg.patch_size), jnp.float32)
+    vals = _rotated_gather(blurred, xk, yk, angles, pat)
+    vals = vals.reshape(vals.shape[0], ntuples, cfg.wta_k)
+    if cfg.wta_k == 3:
+        t0, t1, t2 = vals[..., 0], vals[..., 1], vals[..., 2]
+        code = jnp.where(t2 > t1,
+                         jnp.where(t2 > t0, 2, 0),
+                         (t1 > t0).astype(jnp.int32))
+    else:
+        t0, t1, t2, t3 = (vals[..., 0], vals[..., 1],
+                          vals[..., 2], vals[..., 3])
+        u = (t1 > t0).astype(jnp.int32)            # best of {0,1}
+        v = 2 + (t3 > t2).astype(jnp.int32)        # best of {2,3}
+        code = jnp.where(jnp.maximum(t0, t1) > jnp.maximum(t2, t3), u, v)
+    onehot = (code[..., None] ==
+              jnp.arange(cfg.wta_k)[None, None, :])          # (K, nt, wta_k)
+    return onehot.reshape(vals.shape[0], ntuples * cfg.wta_k) \
+        .astype(jnp.uint8)
 
 
 def detect_and_compute(gray: jnp.ndarray,
@@ -151,6 +186,13 @@ def detect_and_compute(gray: jnp.ndarray,
         bi = jnp.arange(bmax.shape[0], dtype=jnp.int32)
         win_y = (bi // nbx) * BH + barg // BW                 # (nB,)
         win_x = (bi % nbx) * BW + barg % BW
+        if bmax.shape[0] < k_cand:
+            # tiny levels can have fewer blocks than candidates; pad with
+            # zero-score entries (selected slots come out invalid)
+            padn = k_cand - bmax.shape[0]
+            bmax = jnp.concatenate([bmax, jnp.zeros((padn,), bmax.dtype)])
+            win_y = jnp.concatenate([win_y, jnp.zeros((padn,), jnp.int32)])
+            win_x = jnp.concatenate([win_x, jnp.zeros((padn,), jnp.int32)])
 
         # static per-cell column/row bounds, vmapped cell selection
         cell_bounds = []

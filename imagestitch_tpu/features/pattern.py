@@ -70,3 +70,27 @@ def ic_angle_offsets(half_patch: int = 15):
     return (us.reshape(-1).astype(np.int32),
             vs.reshape(-1).astype(np.int32),
             inside.reshape(-1))
+
+
+@functools.lru_cache(maxsize=None)
+def orb_tuple_pattern(tuple_size: int, ntuples: int = 128,
+                      patch_size: int = 31,
+                      seed: int = PATTERN_SEED) -> np.ndarray:
+    """Sampling tuples for wta_k ∈ {3, 4} descriptors.
+
+    Mirrors the reference's initializeOrbPattern (ref 特征点检测.cpp
+    :421-447): each of `ntuples` code symbols compares `tuple_size`
+    DISTINCT points drawn from the base BRIEF point pool. Returns
+    (ntuples*tuple_size, 2) int32 offsets.
+    """
+    pool = brief_pattern(256, patch_size, seed)     # (512, 2) point pool
+    rng = np.random.default_rng(seed ^ 0x9E3779B9)
+    out = np.zeros((ntuples * tuple_size, 2), np.int32)
+    for i in range(ntuples):
+        chosen: list[tuple[int, int]] = []
+        while len(chosen) < tuple_size:
+            p = tuple(pool[rng.integers(0, len(pool))])
+            if p not in chosen:
+                chosen.append(p)
+        out[i * tuple_size:(i + 1) * tuple_size] = chosen
+    return out

@@ -1,4 +1,4 @@
-"""SIFT-style DoG detector + 128-D gradient-histogram descriptor, TPU-native.
+"""SIFT DoG detector + 128-D gradient-histogram descriptor, TPU-native.
 
 The reference implements ORB but its README cites the SIFT literature and
 builds OpenCV with NONFREE for it (ref README.md:14-24; SURVEY.md §7 scope
@@ -11,13 +11,24 @@ provides the float-descriptor detector family behind the same
 - DoG extrema: |D| above threshold AND strict 26-neighborhood extremum,
   computed as stacked shifted comparisons over the (S+2, H, W) DoG volume
   (no data-dependent loops), plus the Hessian edge-ratio rejection.
-- Per-octave static top-k quotas (capacity + validity masks, same design as
-  the ORB path).
+- SUBPIXEL refinement: the 3x3x3 quadratic fit of Lowe §4 (offset
+  δ = −H⁻¹∇D) run as a fixed-step re-centering loop per keypoint (batched
+  27-neighbor gathers + closed-form 3x3 solves — no data-dependent trip
+  counts), with the interpolated-contrast re-test |D(δ)| ≥ thresh.
 - Orientation: 36-bin Gaussian-weighted gradient histogram per keypoint via
-  one-hot matmul binning (MXU), dominant peak.
-- Descriptor: 4x4 spatial cells x 8 orientation bins over a rotated 16x16
-  sample grid — batched gathers + soft-assignment one-hot matmuls, then the
-  SIFT normalize -> clip(0.2) -> renormalize.
+  one-hot matmul binning (MXU), with parabolic peak interpolation and up to
+  TWO orientation peaks ≥ 0.8·max (Lowe §5) — the second peak occupies a
+  second static keypoint slot, valid only when it exists.
+- Per-scale gradients: magnitude/angle stacks over the octave's interior
+  levels, gathered per keypoint by its scale index; the orientation window
+  Gaussian and the descriptor sampling grid scale with the keypoint's local
+  σ (σ_rel = σ0·2^(l/S)), so higher-scale keypoints see proportionally
+  wider windows through the SAME static gather extents.
+- Descriptor: 4x4 spatial cells x 8 orientation bins over a rotated,
+  σ-scaled 17x17 sample grid — batched gathers + soft-assignment one-hot
+  matmuls, then the SIFT normalize -> clip(0.2) -> renormalize. (OpenCV
+  samples every pixel of the window; the fixed 289-sample grid subsamples
+  large-σ windows — a static-shape approximation, exact at σ = σ0.)
 
 Matching uses the L2 distance matmul (matching.l2_distance_matrix).
 """
@@ -42,7 +53,6 @@ def _scale_space(gray, num_octaves: int, S: int, sigma0: float):
     for o in range(num_octaves):
         levels = []
         img = base
-        prev_sigma = sigma0 if o == 0 else sigma0  # base re-blurred below
         # level 0 of the octave carries sigma0
         if o == 0:
             img = gaussian_blur(img, 7, sigma0)
@@ -83,8 +93,8 @@ def _dog_extrema_scores(dog: jnp.ndarray, contrast_thresh: float,
     is_min = jnp.all(d[None] < nb, axis=0)
     score = jnp.where(is_max | is_min, jnp.abs(d), 0.0)
 
-    # contrast threshold (OpenCV uses 0.5*thr for the pre-interp test)
-    score = jnp.where(jnp.abs(d) >= contrast_thresh, score, 0.0)
+    # contrast pre-test (OpenCV uses 0.5*thr before interpolation)
+    score = jnp.where(jnp.abs(d) >= 0.5 * contrast_thresh, score, 0.0)
 
     # Hessian edge rejection: tr^2/det < (r+1)^2/r
     dxx = jnp.roll(d, -1, 2) + jnp.roll(d, 1, 2) - 2 * d
@@ -104,17 +114,98 @@ def _dog_extrema_scores(dog: jnp.ndarray, contrast_thresh: float,
     return score * mask_y[None, :, None] * mask_x[None, None, :]
 
 
+def _gather_dog(dog_flat, L, H, W, li, yi, xi):
+    li = jnp.clip(li, 0, L - 1)
+    yi = jnp.clip(yi, 0, H - 1)
+    xi = jnp.clip(xi, 0, W - 1)
+    return dog_flat[(li * H + yi) * W + xi]
+
+
+def _refine_subpixel(dog: jnp.ndarray, li, yk, xk, contrast_thresh: float,
+                     n_steps: int = 3):
+    """Lowe's 3x3x3 quadratic extremum interpolation (per keypoint).
+
+    δ = −H⁻¹ ∇D from central differences on the 27-neighborhood; a fixed
+    number of re-centering steps moves the integer voxel while |δ| > 0.5 in
+    some axis (all keypoints take the same static step count — converged
+    ones just recompute the same δ). Returns (li', yf, xf, lf_off, ok) with
+    subpixel float y/x, the scale offset, and the interpolated-contrast
+    validity |D + ½∇D·δ| ≥ contrast_thresh.
+    """
+    L, H, W = dog.shape
+    flat = dog.reshape(-1)
+
+    def deriv(li_, yi_, xi_):
+        g = functools.partial(_gather_dog, flat, L, H, W)
+        c = g(li_, yi_, xi_)
+        dx = 0.5 * (g(li_, yi_, xi_ + 1) - g(li_, yi_, xi_ - 1))
+        dy = 0.5 * (g(li_, yi_ + 1, xi_) - g(li_, yi_ - 1, xi_))
+        dl = 0.5 * (g(li_ + 1, yi_, xi_) - g(li_ - 1, yi_, xi_))
+        dxx = g(li_, yi_, xi_ + 1) + g(li_, yi_, xi_ - 1) - 2 * c
+        dyy = g(li_, yi_ + 1, xi_) + g(li_, yi_ - 1, xi_) - 2 * c
+        dll = g(li_ + 1, yi_, xi_) + g(li_ - 1, yi_, xi_) - 2 * c
+        dxy = 0.25 * (g(li_, yi_ + 1, xi_ + 1) - g(li_, yi_ + 1, xi_ - 1)
+                      - g(li_, yi_ - 1, xi_ + 1) + g(li_, yi_ - 1, xi_ - 1))
+        dxl = 0.25 * (g(li_ + 1, yi_, xi_ + 1) - g(li_ + 1, yi_, xi_ - 1)
+                      - g(li_ - 1, yi_, xi_ + 1) + g(li_ - 1, yi_, xi_ - 1))
+        dyl = 0.25 * (g(li_ + 1, yi_ + 1, xi_) - g(li_ + 1, yi_ - 1, xi_)
+                      - g(li_ - 1, yi_ + 1, xi_) + g(li_ - 1, yi_ - 1, xi_))
+        return c, jnp.stack([dx, dy, dl], -1), dxx, dyy, dll, dxy, dxl, dyl
+
+    def solve_offset(args):
+        c, grad, dxx, dyy, dll, dxy, dxl, dyl = args
+        # H δ = −g via the adjugate (batched closed-form 3x3 solve)
+        a, b, cc = dxx, dxy, dxl
+        d_, e, f = dxy, dyy, dyl
+        gg, h_, i_ = dxl, dyl, dll
+        det = (a * (e * i_ - f * h_) - b * (d_ * i_ - f * gg)
+               + cc * (d_ * h_ - e * gg))
+        det_safe = jnp.where(jnp.abs(det) < 1e-10, 1e-10, det)
+        adj00 = e * i_ - f * h_
+        adj01 = cc * h_ - b * i_
+        adj02 = b * f - cc * e
+        adj10 = f * gg - d_ * i_
+        adj11 = a * i_ - cc * gg
+        adj12 = cc * d_ - a * f
+        adj20 = d_ * h_ - e * gg
+        adj21 = b * gg - a * h_
+        adj22 = a * e - b * d_
+        gx, gy, gl = grad[..., 0], grad[..., 1], grad[..., 2]
+        ox = -(adj00 * gx + adj01 * gy + adj02 * gl) / det_safe
+        oy = -(adj10 * gx + adj11 * gy + adj12 * gl) / det_safe
+        ol = -(adj20 * gx + adj21 * gy + adj22 * gl) / det_safe
+        return ox, oy, ol
+
+    li_c, yi_c, xi_c = li, yk, xk
+    ox = oy = ol = jnp.zeros(li.shape, jnp.float32)
+    for _ in range(n_steps):
+        args = deriv(li_c, yi_c, xi_c)
+        ox, oy, ol = solve_offset(args)
+        # re-center the voxel where an offset exceeds half a pixel
+        xi_c = jnp.clip(xi_c + jnp.round(jnp.clip(ox, -1, 1)).astype(
+            jnp.int32) * (jnp.abs(ox) > 0.5), 1, W - 2)
+        yi_c = jnp.clip(yi_c + jnp.round(jnp.clip(oy, -1, 1)).astype(
+            jnp.int32) * (jnp.abs(oy) > 0.5), 1, H - 2)
+        li_c = jnp.clip(li_c + jnp.round(jnp.clip(ol, -1, 1)).astype(
+            jnp.int32) * (jnp.abs(ol) > 0.5), 1, L - 2)
+    args = deriv(li_c, yi_c, xi_c)
+    ox, oy, ol = solve_offset(args)
+    c, grad = args[0], args[1]
+    ox = jnp.clip(ox, -0.5, 0.5)
+    oy = jnp.clip(oy, -0.5, 0.5)
+    ol = jnp.clip(ol, -0.5, 0.5)
+    # interpolated contrast D(δ) = D + ½ ∇D·δ (Lowe eq. 3)
+    d_hat = c + 0.5 * (grad[..., 0] * ox + grad[..., 1] * oy
+                       + grad[..., 2] * ol)
+    ok = jnp.abs(d_hat) >= contrast_thresh
+    return (li_c, yi_c.astype(jnp.float32) + oy,
+            xi_c.astype(jnp.float32) + ox, ol, ok)
+
+
 def _grad(img):
     gx = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
     gy = 0.5 * (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0))
     return jnp.sqrt(gx * gx + gy * gy), jnp.arctan2(gy, gx)
-
-
-def _gather(img, yk, xk, dv, du):
-    H, W = img.shape
-    yi = jnp.clip(yk[:, None] + dv[None, :], 0, H - 1)
-    xi = jnp.clip(xk[:, None] + du[None, :], 0, W - 1)
-    return img.reshape(-1)[yi * W + xi]
 
 
 @functools.lru_cache(maxsize=None)
@@ -125,44 +216,82 @@ def _window_offsets(rad: int):
     return (vs.reshape(-1).astype(np.int32), us.reshape(-1).astype(np.int32))
 
 
-def _orientations(mag, ang, yk, xk, rad: int = 8):
-    """Dominant gradient orientation per keypoint (36-bin histogram)."""
+def _gather_scaled(stack_flat, S, H, W, si, yk, xk, dv, du):
+    """Gather stack[si, yk+dv, xk+du] -> (K, P). si: per-keypoint scale."""
+    yi = jnp.clip(yk[:, None] + dv[None, :], 0, H - 1)
+    xi = jnp.clip(xk[:, None] + du[None, :], 0, W - 1)
+    return stack_flat[(si[:, None] * H + yi) * W + xi]
+
+
+def _orientations(mags_flat, angs_flat, S, H, W, si, yk, xk, sigma_rel,
+                  rad: int = 12, n_peaks: int = 2):
+    """Up to `n_peaks` gradient orientations per keypoint (Lowe §5).
+
+    36-bin Gaussian-weighted histogram from the keypoint's OWN scale level,
+    window σ = 1.5·σ_rel (per keypoint — the static ±rad gather window is
+    shaped by the weights), 6-pass [1 1 1]/3 smoothing like OpenCV, peaks
+    ≥ 0.8·max with parabolic bin interpolation.
+    Returns (thetas (n_peaks, K), peak_ok (n_peaks, K))."""
     dv_np, du_np = _window_offsets(rad)
     dv = jnp.asarray(dv_np)
     du = jnp.asarray(du_np)
-    m = _gather(mag, yk, xk, dv, du)                     # (K, P)
-    a = _gather(ang, yk, xk, dv, du)
-    w = jnp.exp(-(du.astype(jnp.float32) ** 2 + dv.astype(jnp.float32) ** 2)
-                / (2.0 * (0.5 * rad) ** 2))
+    m = _gather_scaled(mags_flat, S, H, W, si, yk, xk, dv, du)   # (K, P)
+    a = _gather_scaled(angs_flat, S, H, W, si, yk, xk, dv, du)
+    r2 = (du.astype(jnp.float32) ** 2 + dv.astype(jnp.float32) ** 2)[None, :]
+    sig = (1.5 * sigma_rel)[:, None]
+    w = jnp.exp(-r2 / (2.0 * sig * sig))
+    # hard-window the gather square to the per-keypoint circular radius
+    w = jnp.where(r2 <= (3.0 * sig) ** 2, w, 0.0)
     bins = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32) % 36
     onehot = jax.nn.one_hot(bins, 36, dtype=jnp.float32)  # (K, P, 36)
-    hist = jnp.einsum("kp,kpb->kb", m * w[None, :], onehot)
-    # light smoothing then argmax
-    hist = (jnp.roll(hist, 1, 1) + hist + jnp.roll(hist, -1, 1)) / 3.0
-    peak = jnp.argmax(hist, axis=1)
-    return (peak.astype(jnp.float32) + 0.5) / 36.0 * 2 * jnp.pi - jnp.pi
+    hist = jnp.einsum("kp,kpb->kb", m * w, onehot)
+    for _ in range(6):                       # OpenCV smooths 6 times
+        hist = (jnp.roll(hist, 1, 1) + hist + jnp.roll(hist, -1, 1)) / 3.0
+
+    prev = jnp.roll(hist, 1, 1)
+    nxt = jnp.roll(hist, -1, 1)
+    is_peak = (hist > prev) & (hist > nxt)
+    peak_val = jnp.where(is_peak, hist, -jnp.inf)
+    top_v, top_b = jax.lax.top_k(peak_val, n_peaks)       # (K, n_peaks)
+    hmax = top_v[:, :1]
+    ok = (top_v >= 0.8 * hmax) & jnp.isfinite(top_v)
+
+    # parabolic interpolation of the peak bin
+    kidx = jnp.arange(hist.shape[0])[:, None]
+    hp = prev[kidx, top_b]
+    hc = hist[kidx, top_b]
+    hn = nxt[kidx, top_b]
+    denom = hp - 2.0 * hc + hn
+    frac = jnp.where(jnp.abs(denom) > 1e-8,
+                     0.5 * (hp - hn) / denom, 0.0)
+    bin_f = top_b.astype(jnp.float32) + jnp.clip(frac, -0.5, 0.5) + 0.5
+    theta = bin_f / 36.0 * 2 * jnp.pi - jnp.pi
+    return theta.T, ok.T                                   # (n_peaks, K)
 
 
-def _descriptors(mag, ang, yk, xk, theta, cell: int = 4, nbins: int = 8,
-                 width: int = 4):
-    """SIFT 4x4x8 descriptor per keypoint, (K, 128) float32, normalized."""
+def _descriptors(mags_flat, angs_flat, S, H, W, si, yk, xk, theta, sigma_rel,
+                 cell: int = 4, nbins: int = 8, width: int = 4):
+    """SIFT 4x4x8 descriptor per keypoint, (K, 128) float32, normalized.
+
+    The 17x17 sample grid is rotated by θ and scaled by 3σ_rel/4 per
+    keypoint (one histogram cell spans 3σ_rel source pixels, Lowe §6), and
+    gradients come from the keypoint's own scale level."""
     half = cell * width // 2                              # 8
     vs_np, us_np = _window_offsets(half)
     vs = jnp.asarray(vs_np)
     us = jnp.asarray(us_np)
-    # rotate sample offsets by keypoint orientation
     ca = jnp.cos(theta)[:, None]
     sa = jnp.sin(theta)[:, None]
     uf = us.astype(jnp.float32)[None, :]
     vf = vs.astype(jnp.float32)[None, :]
-    ru = jnp.round(uf * ca - vf * sa).astype(jnp.int32)
-    rv = jnp.round(uf * sa + vf * ca).astype(jnp.int32)
+    k_scale = (3.0 * sigma_rel / cell)[:, None]           # px per grid step
+    ru = jnp.round((uf * ca - vf * sa) * k_scale).astype(jnp.int32)
+    rv = jnp.round((uf * sa + vf * ca) * k_scale).astype(jnp.int32)
 
-    H, W = mag.shape
     yi = jnp.clip(yk[:, None] + rv, 0, H - 1)
     xi = jnp.clip(xk[:, None] + ru, 0, W - 1)
-    m = mag.reshape(-1)[yi * W + xi]                      # (K, P)
-    a = ang.reshape(-1)[yi * W + xi] - theta[:, None]     # rotated gradient
+    m = mags_flat[(si[:, None] * H + yi) * W + xi]        # (K, P)
+    a = angs_flat[(si[:, None] * H + yi) * W + xi] - theta[:, None]
 
     # spatial cell soft-assignment (bilinear over the 4x4 grid)
     gx = (uf + half) / cell - 0.5                         # (1, P) in [-.5,3.5]
@@ -209,14 +338,17 @@ def detect_and_compute_sift(gray: jnp.ndarray,
                             num_octaves: int = 4, scales_per_octave: int = 3,
                             sigma0: float = 1.6,
                             contrast_thresh: float = 1.0) -> ImageFeatures:
-    """SIFT-style detect+describe -> padded ImageFeatures with (K, 128)
-    float32 descriptors (descriptor width differs from ORB's 256 bits; the
-    matcher dispatches on dtype)."""
+    """SIFT detect+describe -> padded ImageFeatures with (K, 128) float32
+    descriptors (descriptor width differs from ORB's 256 bits; the matcher
+    dispatches on dtype). Each DoG extremum may emit up to two keypoints
+    (second orientation peak), like Lowe's detector."""
     H, W = gray.shape
     gray = gray.astype(jnp.float32)
-    octaves = _scale_space(gray, num_octaves, scales_per_octave, sigma0)
+    S = scales_per_octave
+    octaves = _scale_space(gray, num_octaves, S, sigma0)
 
-    quota = max(cfg.max_keypoints // max(len(octaves), 1), 16)
+    # each extremum can spawn 2 oriented keypoints
+    quota = max(cfg.max_keypoints // (2 * max(len(octaves), 1)), 16)
     xs, ys, resp, angs, sizes, levels, valids, descs = \
         [], [], [], [], [], [], [], []
 
@@ -233,21 +365,39 @@ def detect_and_compute_sift(gray: jnp.ndarray,
         yk = rem // Wh
         xk = rem % Wh
 
-        # orientation + descriptor from the octave's mid-scale gradient
-        mag, angm = _grad(levels_o[scales_per_octave // 2 + 1])
-        theta = _orientations(mag, angm, yk, xk)
-        d = _descriptors(mag, angm, yk, xk, theta)
+        # subpixel 3x3x3 quadratic refinement + interpolated contrast test
+        li_r, yf, xf, ol, c_ok = _refine_subpixel(
+            dog, li, yk, xk, contrast_thresh)
+        v = v & c_ok
+        yk_i = jnp.clip(jnp.round(yf).astype(jnp.int32), 0, Hh - 1)
+        xk_i = jnp.clip(jnp.round(xf).astype(jnp.int32), 0, Wh - 1)
+
+        # per-scale gradient stacks over the octave's interior levels:
+        # DoG layer l peaks at blur level l (σ_rel = σ0·2^(l/S))
+        mags, angms = zip(*[_grad(levels_o[i]) for i in range(1, S + 2)])
+        mags_flat = jnp.stack(mags).reshape(-1)
+        angs_flat = jnp.stack(angms).reshape(-1)
+        si = jnp.clip(li_r - 1, 0, S)                    # stack index
+        lf = li_r.astype(jnp.float32) + ol               # interpolated scale
+        sigma_rel = sigma0 * (2.0 ** (jnp.clip(lf, 0.0, S + 1.0) / S))
+
+        thetas, peak_ok = _orientations(
+            mags_flat, angs_flat, S + 1, Hh, Wh, si, yk_i, xk_i, sigma_rel)
 
         s = float(2 ** o)
-        xs.append(xk.astype(jnp.float32) * s)
-        ys.append(yk.astype(jnp.float32) * s)
-        resp.append(jnp.where(v, top_s, 0.0))
-        angs.append(theta)
-        sizes.append(sigma0 * (2.0 ** (li.astype(jnp.float32)
-                                       / scales_per_octave)) * s * 2.0)
-        levels.append(jnp.full((quota,), o, jnp.int32))
-        valids.append(v)
-        descs.append(d)
+        for p in range(thetas.shape[0]):
+            theta = thetas[p]
+            vp = v & peak_ok[p]
+            d = _descriptors(mags_flat, angs_flat, S + 1, Hh, Wh,
+                             si, yk_i, xk_i, theta, sigma_rel)
+            xs.append(xf * s)
+            ys.append(yf * s)
+            resp.append(jnp.where(vp, top_s, 0.0))
+            angs.append(theta)
+            sizes.append(sigma_rel * s * 2.0)
+            levels.append(jnp.full((quota,), o, jnp.int32))
+            valids.append(vp)
+            descs.append(d)
 
     xy = jnp.stack([jnp.concatenate(xs), jnp.concatenate(ys)], axis=1)
     feats = ImageFeatures(

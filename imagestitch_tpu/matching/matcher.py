@@ -17,6 +17,8 @@ the all-pairs driver FeaturesMatcher1::operator() (:123-152):
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -119,12 +121,26 @@ def match_pair(f1: ImageFeatures, f2: ImageFeatures, key: jax.Array,
     conf = jnp.where(conf > 3.0, 0.0, conf)
     conf = jnp.where(h_ok, conf, 0.0)
 
+    # literal second findHomography pass on inliers only (ref :201-229):
+    # gated on num_inliers >= num_matches_thresh2, replaces H but keeps the
+    # first pass's inlier mask/count/confidence, exactly like the
+    # reference. On the (clean) inlier set the reference's ADAPTIVE RANSAC
+    # collapses to a handful of iterations (RANSACUpdateNumIters with
+    # inlier ratio ~1), so the fixed hypothesis batch shrinks accordingly
+    # instead of re-paying the full first-pass batch.
+    rcfg_refit = dataclasses.replace(
+        rcfg, num_hypotheses=min(256, rcfg.num_hypotheses))
+    refit = find_homography(src, dst, res.inliers & valid,
+                            jax.random.fold_in(key, 1), rcfg_refit)
+    do_refit = (res.num_inliers >= cfg.num_matches_thresh2) & refit.ok
+    H = jnp.where(do_refit, refit.H, res.H)
+
     return MatchesInfo(
         src_idx=jnp.int32(src_idx), dst_idx=jnp.int32(dst_idx),
         pairs=pairs, distance=dist, valid=valid,
         inliers=res.inliers & valid,
         num_inliers=jnp.where(h_ok, res.num_inliers, 0),
-        H=jnp.where(h_ok, res.H, jnp.eye(3, dtype=jnp.float32)),
+        H=jnp.where(h_ok, H, jnp.eye(3, dtype=jnp.float32)),
         h_valid=h_ok, confidence=conf)
 
 

@@ -8,8 +8,20 @@ before any backend initializes.
 """
 
 import os
+import resource
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the environment's persistent compilation cache segfaults inside
+# put_executable_and_time when serializing large executables (observed on
+# the fixed-N chain program); tests don't benefit from it anyway
+os.environ["JAX_ENABLE_COMPILATION_CACHE"] = "false"
+# XLA:CPU's LLVM passes recurse deeply on the large fused detect/stitch
+# programs; with the default 8 MB main-thread stack long pytest sessions
+# intermittently die with SIGSEGV inside backend_compile_and_load. The hard
+# limit here is unlimited — raise the soft limit so the kernel can keep
+# growing the main stack.
+resource.setrlimit(resource.RLIMIT_STACK,
+                   (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +30,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# the env var alone does not flip this flag in this jax build; the config
+# update does (see the segfault note above)
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np
 import pytest
@@ -26,3 +41,20 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Free compiled executables between test modules.
+
+    Long single-process runs of the whole suite accumulate hundreds of
+    large XLA:CPU executables; past a threshold the NEXT compilation dies
+    with SIGSEGV inside backend_compile_and_load (jaxlib CPU backend bug —
+    reproducible at the same test with or without the axon plugin, stack
+    rlimit raised, and the persistent cache disabled; each module passes in
+    isolation). Clearing JAX's jit caches after every module keeps the live
+    executable count bounded and the suite stable, at the cost of
+    recompiling shared programs across module boundaries.
+    """
+    yield
+    jax.clear_caches()

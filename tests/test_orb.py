@@ -133,3 +133,72 @@ def test_descriptor_stability_under_translation():
     assert len(hams) >= 5
     # coincident corners: hamming distance well below random (128)
     assert np.median(hams) < 40
+
+
+def test_wta_k_codes_match_reference_expressions():
+    """wta_k=3/4 symbol codes follow the reference's exact branchy
+    expressions (ref 特征点检测.cpp:354-414), checked against a literal
+    NumPy transcription on random tuples."""
+    import numpy as np
+    import jax.numpy as jnp
+    from imagestitch_tpu.features.orb import _orb_descriptors
+    from imagestitch_tpu.features.pattern import orb_tuple_pattern
+    from imagestitch_tpu.config import DetectorConfig
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (64, 64)).astype(np.float32)
+    K = 7
+    xk = jnp.asarray(rng.randint(20, 44, K), jnp.int32)
+    yk = jnp.asarray(rng.randint(20, 44, K), jnp.int32)
+    ang = jnp.zeros((K,), jnp.float32)   # angle 0: plain integer offsets
+
+    for wta_k in (3, 4):
+        cfg = DetectorConfig(wta_k=wta_k)
+        d = np.asarray(_orb_descriptors(jnp.asarray(img), xk, yk, ang, cfg))
+        assert d.shape == (K, 128 * wta_k)
+        # exactly one-hot per symbol
+        assert (d.reshape(K, 128, wta_k).sum(-1) == 1).all()
+
+        pat = orb_tuple_pattern(wta_k, 128, cfg.patch_size)
+        codes = d.reshape(K, 128, wta_k).argmax(-1)
+        for j in range(K):
+            x0, y0 = int(xk[j]), int(yk[j])
+            for i in range(128):
+                t = [img[y0 + int(pat[i * wta_k + m][1]),
+                         x0 + int(pat[i * wta_k + m][0])]
+                     for m in range(wta_k)]
+                if wta_k == 3:
+                    t0, t1, t2 = t
+                    ref = (2 if t2 > t0 else 0) if t2 > t1 else int(t1 > t0)
+                else:
+                    t0, t1, t2, t3 = t
+                    u = 1 if t1 > t0 else 0
+                    v = 3 if t3 > t2 else 2
+                    ref = u if max(t0, t1) > max(t2, t3) else v
+                assert codes[j, i] == ref, (j, i, t)
+
+
+def test_wta_k_end_to_end_matching():
+    """The matcher stack works unchanged on one-hot wta_k=3 descriptors
+    (Hamming on one-hot == 2x NORM_HAMMING2, a monotone rescale)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from imagestitch_tpu.config import (DetectorConfig, MatcherConfig,
+                                        RansacConfig)
+    from imagestitch_tpu.features import detect
+    from imagestitch_tpu.matching.matcher import match_pair
+    from imagestitch_tpu.utils.io import synthetic_pair
+    from imagestitch_tpu.ops.image import rgb_to_gray
+
+    i1, i2, shift = synthetic_pair(192, 320, overlap=0.5, seed=2)
+    cfg = DetectorConfig(wta_k=3, nfeatures=256, max_keypoints=512)
+    f1 = detect(rgb_to_gray(jnp.asarray(i1, jnp.float32)), cfg)
+    f2 = detect(rgb_to_gray(jnp.asarray(i2, jnp.float32)), cfg)
+    assert f1.descriptors.shape[1] == 384
+    mi = match_pair(f1, f2, jax.random.key(0), 0, 1,
+                    MatcherConfig(max_matches=256), RansacConfig())
+    assert bool(mi.h_valid)
+    H = np.asarray(mi.H)
+    # recovered homography is the expected translation
+    assert abs(H[0, 2] - (-shift)) < 2.0

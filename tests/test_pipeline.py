@@ -108,3 +108,98 @@ def test_stitch_unrelated_images_flagged():
     pano, metrics = stitch_pair(img1, img2, FAST_CFG)
     # must not crash; low confidence signals failure
     assert metrics["confidence"] < 1.0 or metrics["num_inliers"] < 20
+
+
+def test_work_megapix_registration_scale():
+    """work_megapix: registration at reduced scale, compositing at full
+    res; the pano matches the full-scale pano (VERDICT round-1 #7)."""
+    import numpy as np
+    from imagestitch_tpu.config import PipelineConfig
+    from imagestitch_tpu.pipeline import stitch_pair, _work_scale
+    from imagestitch_tpu.utils.io import synthetic_pair
+
+    i1, i2, shift = synthetic_pair(480, 800, overlap=0.5, seed=6)
+    cfg_full = PipelineConfig()
+    cfg_work = cfg_full.replace(work_megapix=0.1)    # ~245x408 work images
+    ws = _work_scale(cfg_work, (480, 800))
+    assert 0.3 < ws < 0.7
+
+    p_full, m_full = stitch_pair(i1, i2, cfg_full)
+    p_work, m_work = stitch_pair(i1, i2, cfg_work)
+    assert m_full["h_valid"] and m_work["h_valid"]
+    assert m_work["num_inliers"] > 30
+    # same topology: pano sizes agree to a few pixels, content at full res
+    assert abs(p_full.shape[1] - p_work.shape[1]) < 12
+    assert abs(p_full.shape[0] - p_work.shape[0]) < 12
+
+
+def test_stitch_chain_jitted_fixed_n():
+    """The fully-jitted fixed-N chain path (BASELINE configs 2/4): a 4-image
+    pan sequence stitched as ONE XLA program matches the host Stitcher."""
+    import numpy as np
+    from imagestitch_tpu.config import (PipelineConfig, DetectorConfig,
+                                        MatcherConfig, RansacConfig,
+                                        CameraConfig, WarpConfig)
+    from imagestitch_tpu.pipeline import stitch_chain, stitch
+    from imagestitch_tpu.utils.io import synthetic_sequence
+
+    views, shift = synthetic_sequence(4, 160, 224, overlap=0.5, seed=9)
+    cfg = PipelineConfig(
+        detector=DetectorConfig(nfeatures=128, max_keypoints=384),
+        matcher=MatcherConfig(max_matches=192),
+        ransac=RansacConfig(num_hypotheses=256),
+        camera=CameraConfig(ba_refine=False),
+        warp=WarpConfig(kind="plane", canvas_scale_w=2.2,
+                        canvas_scale_h=1.4))
+    pano_c, m_c = stitch_chain(views, cfg)
+    assert all(m_c["h_valid"])
+    pano_s, m_s = stitch(views, cfg)
+    # both drivers recover the same layout
+    assert abs(pano_c.shape[1] - pano_s.shape[1]) < 10
+    assert pano_c.shape[1] > 224 + 2 * shift
+
+
+def test_stage_dump(tmp_path):
+    """dump_stages writes per-stage .npz checkpoints (SURVEY §5 analogue of
+    the reference's intermediate .bmp dumps)."""
+    import os
+    import numpy as np
+    from imagestitch_tpu.pipeline import Stitcher
+    from imagestitch_tpu.utils.io import synthetic_sequence
+
+    views, _ = synthetic_sequence(3, 160, 224, overlap=0.5, seed=13)
+    cfg = FAST_CFG.replace(warp=WarpConfig(kind="plane", canvas_scale_w=1.8,
+                                           canvas_scale_h=1.4),
+                           camera=CameraConfig(ba_refine=False))
+    d = str(tmp_path / "stages")
+    pano, m = Stitcher(cfg).stitch(views, dump_stages=d)
+    for name in ("features", "matches", "cameras", "warped", "pano"):
+        f = os.path.join(d, f"{name}.npz")
+        assert os.path.exists(f), name
+    z = np.load(os.path.join(d, "matches.npz"))
+    assert z["H"].shape[-2:] == (3, 3)
+
+
+def test_stream_stitcher_reuses_registration():
+    """StreamStitcher: calibrate once, compose new frames with frozen
+    cameras/seams; composed pano of the calibration frames matches."""
+    import numpy as np
+    from imagestitch_tpu import StreamStitcher
+    from imagestitch_tpu.utils.io import synthetic_sequence
+
+    views, _ = synthetic_sequence(3, 160, 224, overlap=0.5, seed=14)
+    cfg = FAST_CFG.replace(warp=WarpConfig(kind="plane", canvas_scale_w=1.8,
+                                           canvas_scale_h=1.4),
+                           camera=CameraConfig(ba_refine=False))
+    ss = StreamStitcher(cfg)
+    pano_cal, m = ss.calibrate(views)
+    pano_same = ss.compose(views)
+    assert pano_cal.shape == pano_same.shape
+    assert np.abs(pano_cal.astype(np.int32)
+                  - pano_same.astype(np.int32)).mean() < 1.0
+    # new frames (brightness-shifted content, same rig) compose fine
+    views2 = [np.clip(v.astype(np.int32) + 12, 0, 255).astype(np.uint8)
+              for v in views]
+    pano2 = ss.compose(views2)
+    assert pano2.shape == pano_cal.shape
+    assert pano2.astype(np.float32).mean() > pano_cal.astype(np.float32).mean()

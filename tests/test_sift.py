@@ -78,3 +78,84 @@ def test_stitch_pair_sift_end_to_end():
     pano, metrics = stitch_pair(img1, img2, cfg)
     assert metrics["h_valid"]
     assert pano.shape[1] > 256
+
+
+def test_sift_subpixel_localization():
+    """Subpixel interpolation: an off-grid Gaussian blob is localized to
+    well under a pixel (round-1 SIFT had integer-only extrema)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from imagestitch_tpu.features.sift import detect_and_compute_sift
+    from imagestitch_tpu.config import DetectorConfig
+
+    H, W = 96, 96
+    cy, cx = 48.4, 47.7          # deliberately off-grid
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    img = 200.0 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 3.0 ** 2))
+    f = detect_and_compute_sift(jnp.asarray(img, jnp.float32),
+                                DetectorConfig(max_keypoints=64))
+    xy = np.asarray(f.xy)[np.asarray(f.valid)]
+    resp = np.asarray(f.response)[np.asarray(f.valid)]
+    assert len(xy) > 0
+    best = xy[np.argmax(resp)]
+    err = np.hypot(best[0] - cx, best[1] - cy)
+    assert err < 0.5, f"localization error {err:.2f} px"
+
+
+def test_sift_descriptor_stability_under_rotation():
+    """30-deg rotation: descriptors of corresponding keypoints still match
+    (multi-peak orientations + per-scale gradient windows)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from imagestitch_tpu.features.sift import detect_and_compute_sift
+    from imagestitch_tpu.matching.hamming import l2_distance_matrix
+    from imagestitch_tpu.config import DetectorConfig
+
+    rng = np.random.RandomState(5)
+    H = W = 160
+    base = rng.rand(H // 8, W // 8) * 255
+    img = np.kron(base, np.ones((8, 8)))           # blocky texture
+    # rotate 30 deg about the center with bilinear sampling (pure NumPy)
+    ang = np.deg2rad(30.0)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    yc, xc = yy - H / 2, xx - W / 2
+    ys = np.cos(ang) * yc - np.sin(ang) * xc + H / 2
+    xs = np.sin(ang) * yc + np.cos(ang) * xc + W / 2
+    y0 = np.clip(np.floor(ys).astype(int), 0, H - 2)
+    x0 = np.clip(np.floor(xs).astype(int), 0, W - 2)
+    fy, fx = ys - y0, xs - x0
+    rot = (img[y0, x0] * (1 - fy) * (1 - fx) + img[y0 + 1, x0] * fy * (1 - fx)
+           + img[y0, x0 + 1] * (1 - fy) * fx + img[y0 + 1, x0 + 1] * fy * fx)
+
+    cfg = DetectorConfig(max_keypoints=256)
+    f1 = detect_and_compute_sift(jnp.asarray(img, jnp.float32), cfg)
+    f2 = detect_and_compute_sift(jnp.asarray(rot, jnp.float32), cfg)
+    v1 = np.asarray(f1.valid)
+    v2 = np.asarray(f2.valid)
+    assert v1.sum() > 20 and v2.sum() > 20
+
+    D = np.array(l2_distance_matrix(f1.descriptors, f2.descriptors))
+    D[~v1] = 1e9
+    D[:, ~v2] = 1e9
+    nn2 = np.argsort(D, axis=1)[:, :2]
+    # geometric ground truth: rotate f1 keypoints INTO image-2 coords
+    # (the sampling above PULLS from rotated coords, so points map by the
+    # inverse rotation)
+    xy1 = np.asarray(f1.xy) - np.array([W / 2, H / 2])
+    gt = np.stack([np.cos(ang) * xy1[:, 0] - np.sin(ang) * xy1[:, 1],
+                   np.sin(ang) * xy1[:, 0] + np.cos(ang) * xy1[:, 1]],
+                  axis=1) + np.array([W / 2, H / 2])
+    xy2 = np.asarray(f2.xy)
+    good = 0
+    total = 0
+    for i in np.nonzero(v1)[0]:
+        if not (20 < gt[i, 0] < W - 20 and 20 < gt[i, 1] < H - 20):
+            continue
+        d0, d1 = D[i, nn2[i, 0]], D[i, nn2[i, 1]]
+        if d0 > 0.7 * d1:        # ambiguous match
+            continue
+        total += 1
+        if np.hypot(*(xy2[nn2[i, 0]] - gt[i])) < 4.0:
+            good += 1
+    assert total >= 10, f"only {total} confident matches"
+    assert good / total > 0.7, f"rotation match rate {good}/{total}"
