@@ -72,7 +72,7 @@ def _hat(t):
 
 
 def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
-                 slabs_ref, tq_ref, lyv_ref, acc_ref, scal_ref,
+                 slabs_ref, tq_ref, lyv_ref, vmask_ref, acc_ref, scal_ref,
                  sems):
     """One (SUPER_H, SUPER_W) super-tile of image b.
 
@@ -117,6 +117,9 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
         cj = tj * SUPER_W + sc * CHUNK_W
         for k in range(scal_ref.shape[1]):
             scal_ref[ch, k] = 0
+        # validity plane default (dead chunks must not read a stale mask
+        # from the previous grid step)
+        vmask_ref[ch] = jnp.zeros((CHUNK_H, CHUNK_W), jnp.float32)
 
         # exact chunk-level ROI test: u depends only on the canvas column,
         # v only on the row, both affinely — corner evaluation suffices
@@ -204,6 +207,11 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
             qbase = jnp.clip(qbase, -(SLAB_W - 1), SLAB_W - 1)
             qmax = jnp.max(jnp.where(ok, qrel, -(2 ** 30)))
             qspread = jnp.clip(qmax - qbase + 2, 0, QSPAN)
+            # pixels whose shift falls beyond the static QSPAN window when
+            # qspread got clipped lose their taps -> invalid (their pinned
+            # hat args also make them accumulate nothing)
+            okq = ok & (qrel - qbase <= QSPAN - 2)
+            lx = jnp.where(okq, lx, -10.0)
 
             scal_ref[ch, _S_ANYOK] = any_ok.astype(jnp.int32)
             scal_ref[ch, _S_ROT] = jnp.mod(-qbase, SLAB_W)
@@ -214,6 +222,12 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
             scal_ref[ch, _S_SX0] = sx0
             tq_ref[ch] = lx - (qbase + jlane).astype(jnp.float32)
             lyv_ref[ch] = ly - rmin.astype(jnp.float32)
+            # analytic validity: the vertical window always covers both
+            # taps by construction (rmin = floor(min ly), vspread from
+            # ceil(max ly), ly <= SLAB_H-2), and okq covers the horizontal
+            # clip — so the hat weights of valid pixels sum to exactly 1
+            # and the kernel skips the weight-sum accumulation + divide
+            vmask_ref[ch] = okq.astype(jnp.float32)
 
             @pl.when(any_ok)
             def _():
@@ -248,9 +262,12 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
         # rotation-scene warp on loop/branch/RMW overhead (the arithmetic
         # is ~4 ms): here the fori_loop body is straight-line vector code
         # with the accumulators as loop carries (vregs), and the shift-
-        # window size is a per-chunk STATIC choice among four
+        # window size is a per-chunk STATIC choice among a few
         # specializations (measured qspread on 1080p rotation scenes:
         # median ~10, p90 ~28), selected by one scalar predicate each.
+        # Validity is the phase-1 analytic mask, so no weight-sum channel
+        # is accumulated and no normalizing divide runs (hat weights of
+        # valid pixels sum to exactly 1 by construction).
         def run_span(nk, rb, ch=ch, rmin=rmin, vspread=vspread,
                      t=t, lyv=lyv):
             def vbody(it, carry):
@@ -267,57 +284,46 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
                     wv = _hat(lyv - dr.astype(jnp.float32))
                     rows = [slabs_ref[ch, c, pl.ds(r, 1), :]
                             for c in range(C)]
-                    ha = jnp.zeros((CHUNK_H, CHUNK_W), jnp.float32)
                     hc = [jnp.zeros((CHUNK_H, CHUNK_W), jnp.float32)
                           for _ in range(C)]
                     for k in range(nk):
                         wh = _hat(t - k)
-                        ha = ha + wh
                         for c in range(C):
                             hc[c] = hc[c] + wh * rows[c][:, k:k + CHUNK_W]
-                    accs[0] = accs[0] + wv * ha
                     for c in range(C):
-                        accs[1 + c] = accs[1 + c] + wv * hc[c]
+                        accs[c] = accs[c] + wv * hc[c]
                 return tuple(accs)
 
             zeros = tuple(jnp.zeros((CHUNK_H, CHUNK_W), jnp.float32)
-                          for _ in range(C + 1))
+                          for _ in range(C))
             trip = (vspread + rb - 1) // rb
             out = lax.fori_loop(0, trip, vbody, zeros)
-            for i in range(C + 1):
+            for i in range(C):
                 acc_ref[i] = out[i]
 
         # dead chunks (any_ok false) have vspread 0: every variant's loop
-        # runs zero iterations and acc stays zero. Exactly one branch of
-        # the ladder fires per chunk.
-        @pl.when(qspread <= KGROUP)
-        def _():
-            run_span(KGROUP, 4)
+        # runs zero iterations and acc stays zero. Exactly one rung of the
+        # ladder fires per chunk; rungs are spaced by 4 shifts around the
+        # measured qspread distribution (median ~10, p90 ~28 on 1080p
+        # rotation scenes) so the average window overshoot stays small.
+        rungs = [8, 12, 16, 20, 24, 32, QSPAN]
+        lo = 0
+        for nk in rungs:
+            rb = 4 if nk <= 20 else 2
 
-        @pl.when((qspread > KGROUP) & (qspread <= 2 * KGROUP))
-        def _():
-            run_span(2 * KGROUP, 4)
+            @pl.when((qspread > lo) & (qspread <= nk))
+            def _(nk=nk, rb=rb):
+                run_span(nk, rb)
 
-        @pl.when((qspread > 2 * KGROUP) & (qspread <= 4 * KGROUP))
-        def _():
-            run_span(4 * KGROUP, 2)
+            lo = nk
 
-        @pl.when(qspread > 4 * KGROUP)
-        def _():
-            run_span(QSPAN, 2)
-
-        wsum = acc_ref[0]
-        wsafe = jnp.where(wsum > 1e-6, wsum, 1.0)
-        # interior pixels accumulate exactly 1.0 total weight; anything less
-        # means a tap fell outside the window -> conservatively invalid
-        # (invalid pixels' hat arguments are pinned at -10 -> wsum 0)
-        valid = wsum > 0.99
+        valid = vmask_ref[ch][...] > 0.5
         ys0, ys1 = sr * CHUNK_H, (sr + 1) * CHUNK_H
         xs0, xs1 = sc * CHUNK_W, (sc + 1) * CHUNK_W
         for c in range(C):
             out_ref[0, c, ys0:ys1, xs0:xs1] = jnp.where(
-                valid, acc_ref[1 + c] / wsafe, 0.0)
-        valid_ref[0, ys0:ys1, xs0:xs1] = valid.astype(jnp.float32)
+                valid, acc_ref[c], 0.0)
+        valid_ref[0, ys0:ys1, xs0:xs1] = vmask_ref[ch][...]
 
 
 KIND_IDS = {"cylindrical": 0.0, "spherical": 1.0, "plane": 2.0}
@@ -394,7 +400,8 @@ def pallas_warp_batched(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
                 pltpu.VMEM((NCH, C, SLAB_H, SLAB_W), jnp.float32),
                 pltpu.VMEM((NCH, CHUNK_H, CHUNK_W), jnp.float32),
                 pltpu.VMEM((NCH, CHUNK_H, CHUNK_W), jnp.float32),
-                pltpu.VMEM((C + 1, CHUNK_H, CHUNK_W), jnp.float32),
+                pltpu.VMEM((NCH, CHUNK_H, CHUNK_W), jnp.float32),
+                pltpu.VMEM((C, CHUNK_H, CHUNK_W), jnp.float32),
                 pltpu.SMEM((NCH, 8), jnp.int32),
                 pltpu.SemaphoreType.DMA((NCH,)),
             ],
