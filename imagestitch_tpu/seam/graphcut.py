@@ -1,14 +1,19 @@
 """GraphCut seam finder (host + native solvers).
 
 Equivalent of OpenCV's GraphCutSeamFinder(COST_COLOR), the default of most
-reference mains (ref 特征点检测.cpp:1128-1136): the overlap is labeled by a
-min-cut whose edge weights are the color differences
+reference mains (ref 特征点检测.cpp:1128-1136). The cost model follows
+OpenCV's setGraphWeightsColor exactly:
 
-    w(p, q) = |I1(p) − I2(p)| + |I1(q) − I2(q)| + eps
+    edge w(p, q) = ||I1(p) − I2(p)||² + ||I1(q) − I2(q)||² + 1
+                   (+ bad_region_penalty if any endpoint lies outside
+                    either warped mask)
+    terminal caps: terminal_cost toward source where mask1, toward sink
+                   where mask2 (overlap pixels get both, which cancels)
 
-with infinite terminal links pinning the exclusive regions of each image.
-Min-cut is irregular sequential work, so it runs host-side on native C++
-solvers (imagestitch_tpu.native); cost maps are vectorized NumPy.
+with terminal_cost = 10000 and bad_region_penalty = 1000 (OpenCV's
+GraphCutSeamFinderBase defaults). Min-cut is irregular sequential work, so
+it runs host-side on native C++ solvers (imagestitch_tpu.native); cost maps
+are vectorized NumPy.
 
 Two solvers, chosen by problem size:
   - small / arbitrary-topology overlaps: Boykov-Kolmogorov maxflow on the
@@ -17,6 +22,9 @@ Two solvers, chosen by problem size:
     ±band columns, whose s-t min cut is — by planar duality — the shortest
     top-to-bottom path in the pixel-corner lattice, solved exactly by
     native Dijkstra (native/seamdual.cpp) in ~20 ms where BK needs minutes.
+    If the optimal cut touches the corridor edge, the band DOUBLES and the
+    solve repeats (up to the full overlap width), so the result is not
+    silently suboptimal when the global cut strays from the DP seed.
     The corridor is oriented by the overlap's aspect (transposed for
     stacked pairs), so horizontal seams work too.
 
@@ -30,11 +38,21 @@ import numpy as np
 
 from imagestitch_tpu.native.ccl import grid_maxflow, band_dijkstra
 
+# OpenCV GraphCutSeamFinderBase defaults (terminal_cost_, bad_region_penalty_)
+TERMINAL_COST = 10000.0
+BAD_REGION_PENALTY = 1000.0
+WEIGHT_EPS = 1.0
 INF = 1e8
-EPS = 1.0
 # overlap-bbox pixel count above which the banded dual solver takes over
 BK_LIMIT = 160 * 160
 BAND = 64
+
+
+def _diff2(img1: np.ndarray, img2: np.ndarray) -> np.ndarray:
+    """Per-pixel SQUARED L2 color difference (OpenCV's normL2 on Point3f
+    returns the squared norm — seam_finders.cpp setGraphWeightsColor)."""
+    d = img1.astype(np.float32) - img2.astype(np.float32)
+    return (d * d).sum(axis=-1)
 
 
 def graphcut_seam_pair(img1: np.ndarray, img2: np.ndarray,
@@ -74,35 +92,42 @@ def graphcut_seam_pair(img1: np.ndarray, img2: np.ndarray,
     i2 = img2[y0:y1, x0:x1]
     h, w = m1.shape
 
-    diff = np.linalg.norm(i1 - i2, axis=-1)          # (h, w)
+    d2 = _diff2(i1, i2)                               # (h, w) squared diff
     both = m1 & m2
 
+    # terminal caps: OpenCV gives every mask1 pixel terminal_cost toward
+    # source and every mask2 pixel terminal_cost toward sink; on overlap
+    # pixels both cancel, leaving net source on img1-exclusive and net sink
+    # on img2-exclusive pixels
     tcap = np.zeros((h, w), np.float32)
-    tcap[m1 & ~m2] = INF                              # img1-exclusive: source
-    tcap[m2 & ~m1] = -INF                             # img2-exclusive: sink
+    tcap[m1 & ~m2] = TERMINAL_COST
+    tcap[m2 & ~m1] = -TERMINAL_COST
 
-    # edge weights w(p,q) = diff(p) + diff(q) + eps inside the union;
-    # crossing out of the union is free (those pixels are invalid anyway)
-    wsum = diff + EPS
+    # edge weights d2(p) + d2(q) + eps, with the bad-region penalty when
+    # any endpoint lies outside either mask (seam_finders.cpp)
+    wpix = d2 + 0.5 * WEIGHT_EPS
+    good = m1 & m2                                     # inside both masks
     ecap = np.zeros((h, w, 4), np.float32)
 
-    def pairw(a, b, valid):
-        return np.where(valid, a + b, 0.0).astype(np.float32)
+    def pairw(shifted_w, shifted_good, edge_valid):
+        w_ = wpix + shifted_w
+        bad = ~(good & shifted_good)
+        w_ = w_ + np.where(bad, np.float32(BAD_REGION_PENALTY), 0.0)
+        return np.where(edge_valid, w_, 0.0).astype(np.float32)
 
+    u = union[y0:y1, x0:x1]
     # left (d=0): p with its left neighbor
-    valid_l = union[y0:y1, x0:x1] & np.roll(union[y0:y1, x0:x1], 1, 1)
-    wl = pairw(wsum, np.roll(wsum, 1, 1), valid_l)
+    vl = u & np.roll(u, 1, 1)
+    wl = pairw(np.roll(wpix, 1, 1), np.roll(good, 1, 1), vl)
     wl[:, 0] = 0
-    # right (d=1)
-    vr = union[y0:y1, x0:x1] & np.roll(union[y0:y1, x0:x1], -1, 1)
-    wr = pairw(wsum, np.roll(wsum, -1, 1), vr)
+    vr = u & np.roll(u, -1, 1)
+    wr = pairw(np.roll(wpix, -1, 1), np.roll(good, -1, 1), vr)
     wr[:, -1] = 0
-    # up (d=2) / down (d=3)
-    vu = union[y0:y1, x0:x1] & np.roll(union[y0:y1, x0:x1], 1, 0)
-    wu = pairw(wsum, np.roll(wsum, 1, 0), vu)
+    vu = u & np.roll(u, 1, 0)
+    wu = pairw(np.roll(wpix, 1, 0), np.roll(good, 1, 0), vu)
     wu[0, :] = 0
-    vd = union[y0:y1, x0:x1] & np.roll(union[y0:y1, x0:x1], -1, 0)
-    wd = pairw(wsum, np.roll(wsum, -1, 0), vd)
+    vd = u & np.roll(u, -1, 0)
+    wd = pairw(np.roll(wpix, -1, 0), np.roll(good, -1, 0), vd)
     wd[-1, :] = 0
     ecap[..., 0] = wl
     ecap[..., 1] = wr
@@ -120,29 +145,65 @@ def graphcut_seam_pair(img1: np.ndarray, img2: np.ndarray,
     return out1, out2
 
 
-def _np_dp_seam(cost: np.ndarray) -> np.ndarray:
-    """Plain 3-predecessor DP seam over a cost map (host seed for the
-    banded cut; same recurrence as ref estimateSeam :846-916 vertical)."""
-    H, W = cost.shape
-    M = cost[0].copy()
-    back = np.zeros((H, W), np.int8)
-    big = np.float32(np.inf)
-    for y in range(1, H):
-        left = np.concatenate([[big], M[:-1]])
-        right = np.concatenate([M[1:], [big]])
-        stacked = np.stack([left, M, right])
-        back[y] = np.argmin(stacked, 0)
-        M = cost[y] + stacked[back[y], np.arange(W)]
-    seam = np.zeros(H, np.int64)
-    seam[-1] = int(np.argmin(M))
-    for y in range(H - 2, -1, -1):
-        off = int(back[y + 1][seam[y + 1]]) - 1
-        seam[y] = np.clip(seam[y + 1] + off, 0, W - 1)
-    return seam
+def _one_is_left(mask1, mask2, x_lo, x_hi):
+    """Which image owns the LEFT side of a vertical cut: the image with
+    more exclusive coverage left of the corridor (columns < x_lo) plus the
+    other's exclusive coverage right of it (columns >= x_hi). Falls back to
+    mask centroids when neither has exclusive mass outside the corridor."""
+    e1 = mask1 & ~mask2
+    e2 = mask2 & ~mask1
+    l1 = int(e1[:, :x_lo].sum())
+    l2 = int(e2[:, :x_lo].sum())
+    r1 = int(e1[:, x_hi:].sum())
+    r2 = int(e2[:, x_hi:].sum())
+    score = (l1 + r2) - (l2 + r1)
+    if score != 0:
+        return score > 0
+    xs_all = np.arange(mask1.shape[1], dtype=np.float64)
+    c1 = (mask1.sum(0) * xs_all).sum() / max(mask1.sum(), 1)
+    c2 = (mask2.sum(0) * xs_all).sum() / max(mask2.sum(), 1)
+    return c1 <= c2
+
+
+def _corridor_costs(ww, gw, uw):
+    """Dual-lattice crossing costs for a corridor window: ww per-pixel half
+    weights, gw inside-both-masks, uw inside-union. Returns (vcost, hcost)
+    for band_dijkstra."""
+    h, bw = ww.shape
+    vcost = np.full((h, bw + 1), INF, np.float32)
+    pairv = ww[:, :-1] + ww[:, 1:]
+    badv = ~(gw[:, :-1] & gw[:, 1:])
+    pairv = pairv + np.where(badv, np.float32(BAD_REGION_PENALTY), 0.0)
+    bothu = uw[:, :-1] & uw[:, 1:]
+    vcost[:, 1:-1] = np.where(bothu, pairv, 0.0)
+
+    hcost = np.zeros((h + 1, bw), np.float32)
+    pairh = ww[:-1, :] + ww[1:, :]
+    badh = ~(gw[:-1, :] & gw[1:, :])
+    pairh = pairh + np.where(badh, np.float32(BAD_REGION_PENALTY), 0.0)
+    bothh = uw[:-1, :] & uw[1:, :]
+    hcost[1:-1, :] = np.where(bothh, pairh, 0.0)
+    return vcost, hcost
+
+
+def _block_reduce(a, s, fn):
+    """(h, w) -> (ceil(h/s), ceil(w/s)) block reduction (zero-padded)."""
+    h, w = a.shape
+    hp, wp = -(-h // s) * s, -(-w // s) * s
+    p = np.zeros((hp, wp), a.dtype)
+    p[:h, :w] = a
+    return fn(p.reshape(hp // s, s, wp // s, s), axis=(1, 3))
+
+
+COARSE_STRIDE = 4
 
 
 def _banded_cut_pair(img1, img2, mask1, mask2):
-    """Large-overlap path: DP-seeded corridor + exact dual-Dijkstra cut."""
+    """Large-overlap path: a FULL-WIDTH coarse dual solve seeds the
+    corridor (so distant cheap channels are seen globally), then the exact
+    fine solve runs inside it, doubling the band whenever the cut touches
+    the corridor edge. Round-2 seeded from a DP seam with a fixed ±64 band,
+    which was silently suboptimal when the true cut strayed."""
     both = mask1 & mask2
     oys, oxs = np.nonzero(both)
     y0, y1 = int(oys.min()), int(oys.max()) + 1
@@ -161,46 +222,63 @@ def _banded_cut_pair(img1, img2, mask1, mask2):
     i2 = img2[y0:y1, x0:x1]
     h, w = b1.shape
 
-    dp_cost = np.where(
-        b1, ((i1 - i2) ** 2).sum(-1).astype(np.float32), np.float32(1e9))
-    seam = _np_dp_seam(dp_cost)
+    d2 = _diff2(i1, i2)
 
-    bx0 = max(int(seam.min()) - BAND, 0)
-    bx1 = min(int(seam.max()) + BAND + 1, w)
-    bw = bx1 - bx0
+    # per-pixel half-weight (cv formulation): crossing between p,q costs
+    # d2(p) + d2(q) + eps (+ penalty outside both masks); free outside the
+    # union
+    u = (mask1 | mask2)[y0:y1, x0:x1]
+    g = (mask1 & mask2)[y0:y1, x0:x1]
+    wpix = np.where(u, d2 + 0.5 * WEIGHT_EPS, 0.0).astype(np.float32)
 
-    # crossing costs: w(p,q) = diff(p) + diff(q) + eps inside the union,
-    # free where either pixel lacks coverage (same convention as the BK
-    # graph edges)
-    u = (mask1 | mask2)[y0:y1, x0:x1][:, bx0:bx1]
-    wsum = np.linalg.norm(i1[:, bx0:bx1] - i2[:, bx0:bx1], axis=-1) + EPS
-    wsum = np.where(u, wsum, 0.0).astype(np.float32)
+    # global seed: full-width cut on a block-averaged pyramid level — sees
+    # cheap channels anywhere in the overlap, unlike a DP seed
+    s = COARSE_STRIDE
+    wc = _block_reduce(wpix, s, np.mean).astype(np.float32)
+    uc = _block_reduce(u, s, np.any)
+    gc_ = _block_reduce(g, s, np.all)
+    vc, hc = _corridor_costs(wc, gc_, uc)
+    coarse_cross, _ = band_dijkstra(vc, hc)
+    ccols = np.nonzero(coarse_cross.any(axis=0))[0]
+    if len(ccols) == 0:
+        lo_seed, hi_seed = 0, w
+    else:
+        lo_seed = int(ccols.min()) * s
+        hi_seed = (int(ccols.max()) + 1) * s
 
-    vcost = np.full((h, bw + 1), INF, np.float32)
-    pairv = wsum[:, :-1] + wsum[:, 1:]
-    bothu = u[:, :-1] & u[:, 1:]
-    vcost[:, 1:-1] = np.where(bothu, pairv, 0.0)
+    band = BAND
+    while True:
+        bx0 = max(lo_seed - band, 0)
+        bx1 = min(hi_seed + band + 1, w)
+        bw = bx1 - bx0
 
-    hcost = np.zeros((h + 1, bw), np.float32)
-    pairh = wsum[:-1, :] + wsum[1:, :]
-    bothh = u[:-1, :] & u[1:, :]
-    hcost[1:-1, :] = np.where(bothh, pairh, 0.0)
+        vcost, hcost = _corridor_costs(wpix[:, bx0:bx1], g[:, bx0:bx1],
+                                       u[:, bx0:bx1])
+        crossings, cut_cost = band_dijkstra(vcost, hcost)
 
-    crossings, _ = band_dijkstra(vcost, hcost)
+        covers_all = bx0 == 0 and bx1 == w
+        if covers_all:
+            break
+        # safety net: if the fine cut presses against a corridor edge that
+        # is not a real overlap boundary, the optimum may lie beyond —
+        # double the band and re-solve
+        touches = ((bx0 > 0 and crossings[:, 1].any())
+                   or (bx1 < w and crossings[:, -2].any())
+                   or cut_cost >= INF)
+        if not touches:
+            break
+        band *= 2
+
     # pixel (y, x) is LEFT of the cut iff an even number of crossings lie
     # at corner columns <= x
     parity = np.cumsum(crossings[:, :-1], axis=1) % 2 == 0
 
-    # which image owns the left side: mask centroids (like seam.dp)
-    xs_all = np.arange(mask1.shape[1], dtype=np.float64)
-    c1 = (mask1.sum(0) * xs_all).sum() / max(mask1.sum(), 1)
-    c2 = (mask2.sum(0) * xs_all).sum() / max(mask2.sum(), 1)
-    one_is_left = c1 <= c2
+    one_left = _one_is_left(mask1, mask2, x0 + bx0, x0 + bx1)
 
     keep1 = np.zeros((h, w), bool)          # overlap pixels img1 keeps
     keep1[:, :bx0] = True
     keep1[:, bx0:bx1] = parity
-    if not one_is_left:
+    if not one_left:
         keep1 = ~keep1
 
     out1 = mask1.copy()

@@ -145,3 +145,159 @@ def test_banded_horizontal_arrangement():
     # rows above it, img2 the rows below
     assert g1[150:195].all()
     assert g2[205:260].all()
+
+
+class TestOpenCVGraphCutParity:
+    """Differential vs cv2.detail.GraphCutSeamFinder("COST_COLOR") — the
+    default seam finder of most reference mains (ref 特征点检测.cpp
+    :1128-1136). The cost model (squared color diffs + weight_eps, terminal
+    10000, bad-region penalty 1000) reproduces OpenCV's
+    setGraphWeightsColor; both the full-BK and the banded planar-dual
+    solver must match the oracle's mask split."""
+
+    @staticmethod
+    def _scene(H, W, seed):
+        cv2 = __import__("cv2")
+        r = np.random.default_rng(seed)
+        base = r.uniform(0, 255, (H // 8, W // 8, 3))
+        s = cv2.resize(base.astype(np.float32), (W, H),
+                       interpolation=cv2.INTER_CUBIC)
+        return np.clip(s, 0, 255)
+
+    @staticmethod
+    def _cv_masks(tiles, corners, tmasks, canvas_hw):
+        cv2 = __import__("cv2")
+        gc = cv2.detail_GraphCutSeamFinder("COST_COLOR")
+        mo = gc.find([t.astype(np.float32) for t in tiles], corners,
+                     [m.copy() for m in tmasks])
+        mo = [m.get() if isinstance(m, cv2.UMat) else np.asarray(m)
+              for m in mo]
+        out = []
+        for (x, y), tile, m in zip(corners, tiles, mo):
+            full = np.zeros(canvas_hw, bool)
+            h, w = tile.shape[:2]
+            full[y:y + h, x:x + w] = m > 0
+            out.append(full)
+        return out
+
+    def test_bk_and_banded_match_cv2(self):
+        """Horizontal pair, exposure+noise difference in the overlap: both
+        solvers reproduce cv2's cut pixel-exactly."""
+        import pytest
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.default_rng(5)
+        H, W = 480, 640
+        scene = self._scene(H, W, 1)
+        x2, w1 = 240, 400
+        t1 = scene[:, :w1].copy()
+        t2 = np.clip(scene[:, x2:] * 1.06
+                     + rng.normal(0, 4, (H, W - x2, 3)), 0, 255)
+        t2 = t2.astype(np.float32)
+        tm1 = np.full((H, w1), 255, np.uint8)
+        tm2 = np.full((H, W - x2), 255, np.uint8)
+        cv_m1, cv_m2 = self._cv_masks([t1, t2], [(0, 0), (x2, 0)],
+                                      [tm1, tm2], (H, W))
+
+        c1 = np.zeros((H, W, 3), np.float32); c1[:, :w1] = t1
+        c2 = np.zeros((H, W, 3), np.float32); c2[:, x2:] = t2
+        m1 = np.zeros((H, W), bool); m1[:, :w1] = True
+        m2 = np.zeros((H, W), bool); m2[:, x2:] = True
+        ov = m1 & m2
+        for method in ("bk", "banded"):
+            o1, o2 = graphcut_seam_pair(c1, c2, m1, m2, method=method)
+            agree = ((o1 == cv_m1) & (o2 == cv_m2))[ov].mean()
+            assert agree > 0.999, (method, agree)
+
+    def test_trapezoid_masks_match_cv2(self):
+        """Non-rectangular (trapezoid) warped-style masks engage the
+        bad-region penalty terms; still pixel-exact vs cv2."""
+        import pytest
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.default_rng(7)
+        H, W = 360, 560
+        scene = self._scene(H, W, 2)
+        x2, w1 = 200, 360
+        t1 = scene[:, :w1].copy()
+        t2 = np.clip(scene[:, x2:] * 0.94
+                     + rng.normal(0, 5, (H, W - x2, 3)), 0, 255)
+        t2 = t2.astype(np.float32)
+        tm1 = np.zeros((H, w1), np.uint8)
+        tm2 = np.zeros((H, W - x2), np.uint8)
+        for y in range(H):
+            sh = int(30 * y / H)
+            tm1[y, :w1 - sh] = 255
+            tm2[y, sh:] = 255
+        cv_m1, cv_m2 = self._cv_masks([t1, t2], [(0, 0), (x2, 0)],
+                                      [tm1, tm2], (H, W))
+
+        c1 = np.zeros((H, W, 3), np.float32); c1[:, :w1] = t1
+        c2 = np.zeros((H, W, 3), np.float32); c2[:, x2:] = t2
+        m1 = np.zeros((H, W), bool); m1[:, :w1] = tm1 > 0
+        m2 = np.zeros((H, W), bool); m2[:, x2:] = tm2 > 0
+        c1 *= m1[..., None]
+        c2 *= m2[..., None]
+        ov = m1 & m2
+        for method in ("bk", "banded"):
+            o1, o2 = graphcut_seam_pair(c1, c2, m1, m2, method=method)
+            agree = ((o1 == cv_m1) & (o2 == cv_m2))[ov].mean()
+            assert agree > 0.999, (method, agree)
+
+    def test_stacked_pair_matches_cv2(self):
+        """Vertically-arranged pair: the banded solver's transpose path and
+        BK both match cv2's horizontal seam."""
+        import pytest
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.default_rng(9)
+        H, W = 560, 360
+        scene = self._scene(H, W, 3)
+        y2, h1 = 200, 360
+        t1 = scene[:h1].copy()
+        t2 = np.clip(scene[y2:] * 1.05
+                     + rng.normal(0, 5, (H - y2, W, 3)), 0, 255)
+        t2 = t2.astype(np.float32)
+        tm1 = np.full((h1, W), 255, np.uint8)
+        tm2 = np.full((H - y2, W), 255, np.uint8)
+        cv_m1, cv_m2 = self._cv_masks([t1, t2], [(0, 0), (0, y2)],
+                                      [tm1, tm2], (H, W))
+
+        c1 = np.zeros((H, W, 3), np.float32); c1[:h1] = t1
+        c2 = np.zeros((H, W, 3), np.float32); c2[y2:] = t2
+        m1 = np.zeros((H, W), bool); m1[:h1] = True
+        m2 = np.zeros((H, W), bool); m2[y2:] = True
+        ov = m1 & m2
+        for method in ("bk", "banded"):
+            o1, o2 = graphcut_seam_pair(c1, c2, m1, m2, method=method)
+            agree = ((o1 == cv_m1) & (o2 == cv_m2))[ov].mean()
+            assert agree > 0.999, (method, agree)
+
+
+def test_banded_adaptive_growth_matches_bk():
+    """A cost field whose optimal cut strays far (>64 columns) from the DP
+    seed: the adaptive band doubling must still land on the full-BK cut
+    (round-2's fixed ±64 corridor was silently suboptimal here)."""
+    H, W = 360, 400
+    m1 = np.zeros((H, W), bool); m1[:, :380] = True
+    m2 = np.zeros((H, W), bool); m2[:, 20:] = True
+
+    # DP (per-pixel cost) prefers column 40: pixel cost 0 there, but its
+    # right neighbor costs 500, so CUTTING at (40,41) is expensive; the
+    # cheap CUT channel is at (300,301) — 260 columns away from the seed
+    val = np.full((H, W), 100.0, np.float32)
+    val[:, 40] = 0.0
+    val[:, 41] = 500.0
+    val[100:, 300] = 0.0
+    val[100:, 301] = 0.0
+    val[:100, 300] = 30.0
+    val[:100, 301] = 30.0
+    img1 = np.zeros((H, W, 3), np.float32)
+    img2 = np.zeros((H, W, 3), np.float32)
+    img2[..., 0] = np.sqrt(val)
+
+    o1b, o2b = graphcut_seam_pair(img1, img2, m1, m2, method="bk")
+    o1d, o2d = graphcut_seam_pair(img1, img2, m1, m2, method="banded")
+    ov = m1 & m2
+    assert ((o1b == o1d) & (o2b == o2d))[ov].all()
+    # and the cut actually sits in the far channel, not at the DP seed
+    kept1 = o1b & ov
+    rightmost = max(int(kept1[y].nonzero()[0].max()) for y in range(100, H))
+    assert rightmost >= 295
