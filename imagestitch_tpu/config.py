@@ -39,6 +39,11 @@ class DetectorConfig:
     edge_threshold: int = 31
     first_level: int = 0
     wta_k: int = 2                # 2|3|4 (ref :329-415); 3/4 = 2-bit codes
+    # BRIEF sampling pattern for wta_k=2: "framework" = seeded-Gaussian
+    # makeRandomPattern equivalent (self-consistent); "opencv" = OpenCV's
+    # learned bit_pattern_31_ table (ref :448-706), making descriptors
+    # bit-comparable with cv2.ORB's for differential tests
+    pattern: str = "framework"    # framework | opencv
     patch_size: int = 31
     fast_threshold: int = 20
     harris_block_size: int = 7
@@ -48,7 +53,9 @@ class DetectorConfig:
     sift_octaves: int = 4
     sift_scales: int = 3
     sift_sigma: float = 1.6
-    sift_contrast_thresh: float = 1.0   # on 0..255 intensity DoG
+    # OpenCV contrastThreshold semantics (0..1 intensity units; the SIFT
+    # module converts to its 0..255 DoG scale internally)
+    sift_contrast_thresh: float = 0.04
     # capacity knobs (TPU static-shape design; not in the reference)
     max_keypoints: int = 1536     # total padded keypoint capacity per image
     per_level_overretain: float = 2.0  # FAST over-retention before Harris cull
@@ -126,6 +133,13 @@ class SeamConfig:
 
     kind: str = "dp_color"  # dp_color|dp_colorgrad|voronoi|graphcut|none
     dilate_kernel: int = 20       # ref 特征点检测.cpp:1164 (20x20 rect dilate)
+    # DP seam orientation on the jitted fast path: "auto" dispatches per
+    # pair from the overlap aspect via lax.cond (tall overlap -> vertical
+    # seam, wide -> horizontal), like the host graphcut path; "vertical"/
+    # "horizontal" pin it (vertical avoids compiling both branches, useful
+    # for throughput-batched dispatch where vmap turns the cond into
+    # compute-both-select)
+    orient: str = "auto"
     # full reference DpSeamFinder machinery (component labeling, conflict
     # resolution, seam tips, horizontal+vertical seams — ref 动态规划....cpp
     # :196-1093) on the host via native CCL, instead of the fast on-device

@@ -203,8 +203,11 @@ def _refine_subpixel(dog: jnp.ndarray, li, yk, xk, contrast_thresh: float,
 
 
 def _grad(img):
-    gx = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
-    gy = 0.5 * (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0))
+    """Central-difference gradients with EDGE-CLAMPED borders (a jnp.roll
+    version would wrap the opposite edge into border gradients)."""
+    p = jnp.pad(img, 1, mode="edge")
+    gx = 0.5 * (p[1:-1, 2:] - p[1:-1, :-2])
+    gy = 0.5 * (p[2:, 1:-1] - p[:-2, 1:-1])
     return jnp.sqrt(gx * gx + gy * gy), jnp.arctan2(gy, gx)
 
 
@@ -337,14 +340,22 @@ def detect_and_compute_sift(gray: jnp.ndarray,
                             cfg: DetectorConfig = DetectorConfig(),
                             num_octaves: int = 4, scales_per_octave: int = 3,
                             sigma0: float = 1.6,
-                            contrast_thresh: float = 1.0) -> ImageFeatures:
+                            contrast_thresh: float = 0.04) -> ImageFeatures:
     """SIFT detect+describe -> padded ImageFeatures with (K, 128) float32
     descriptors (descriptor width differs from ORB's 256 bits; the matcher
     dispatches on dtype). Each DoG extremum may emit up to two keypoints
-    (second orientation peak), like Lowe's detector."""
+    (second orientation peak), like Lowe's detector.
+
+    `contrast_thresh` uses OpenCV's contrastThreshold semantics (default
+    0.04 on 0..1 intensities): the interpolated-extremum rejection is
+    |D̂| · nOctaveLayers < contrastThreshold, converted here to the 0..255
+    DoG units this pipeline uses (sift.cpp calcContrastThreshold /
+    adjustLocalExtrema; pre-test at half the converted value)."""
     H, W = gray.shape
     gray = gray.astype(jnp.float32)
     S = scales_per_octave
+    # OpenCV: |D̂| * S < thresh on 0..1 images  <=>  |D̂| < thresh*255/S here
+    contrast_thresh = contrast_thresh * 255.0 / S
     octaves = _scale_space(gray, num_octaves, S, sigma0)
 
     # each extremum can spawn 2 oriented keypoints

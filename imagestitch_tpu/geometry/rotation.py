@@ -98,14 +98,18 @@ def _K_of(focal, aspect, ppx, ppy):
 
 def estimate_cameras_host(Hs: np.ndarray, pair_from: np.ndarray,
                           pair_to: np.ndarray, num_inliers: np.ndarray,
-                          pair_valid: np.ndarray, img_sizes: np.ndarray
-                          ) -> CameraParams:
+                          pair_valid: np.ndarray, img_sizes: np.ndarray,
+                          return_tree: bool = False):
     """General-topology camera recovery (host, NumPy; ref estimate :246-284).
 
     Hs: (P, 3, 3) with H[p] mapping points of pair_from[p] into pair_to[p]
     in CENTER-NORMALIZED coordinates (the matcher subtracts image centers,
     ref 特征点匹配.cpp:170-178). Returns CameraParams with principal points
-    re-centered to pixel coordinates (ref :266-282).
+    re-centered to pixel coordinates (ref :266-282); with
+    `return_tree=True`, returns (CameraParams, edges) where edges are the
+    max-spanning-tree (u, v) pairs in BFS order from the center image — the
+    actual adjacency topology, which the Stitcher uses to order pairwise
+    seam resolution.
     """
     Hs = np.asarray(Hs, np.float64)
     num_images = int(img_sizes.shape[0])
@@ -136,7 +140,7 @@ def estimate_cameras_host(Hs: np.ndarray, pair_from: np.ndarray,
         R[v] = R[u] @ (Kinv @ np.linalg.inv(H_uv) @ K)
 
     sizes = np.asarray(img_sizes, np.float64)
-    return CameraParams(
+    cams = CameraParams(
         focal=jnp.full((num_images,), focal, jnp.float32),
         aspect=jnp.ones((num_images,), jnp.float32),
         ppx=jnp.asarray(0.5 * sizes[:, 1], jnp.float32),
@@ -144,6 +148,9 @@ def estimate_cameras_host(Hs: np.ndarray, pair_from: np.ndarray,
         R=jnp.asarray(R, jnp.float32),
         t=jnp.zeros((num_images, 3), jnp.float32),
     )
+    if return_tree:
+        return cams, edges
+    return cams
 
 
 def estimate_cameras(Hs_chain: jnp.ndarray, pair_valid: jnp.ndarray,

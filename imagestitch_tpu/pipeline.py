@@ -95,18 +95,22 @@ def _needs_host_seam(cfg: PipelineConfig) -> bool:
                 and cfg.seam.full_components))
 
 
-def _host_seam_masks(warped, masks, cfg: PipelineConfig):
-    """Resolve seams on the host: chained native-BK graphcut per pair, or
-    the full reference DpSeamFinder (component labeling / conflict
-    resolution / seam tips, ref 动态规划....cpp:196-1093).
+def _host_seam_masks(warped, masks, cfg: PipelineConfig, edges=None):
+    """Resolve seams on the host: native-BK graphcut per pair (along
+    `edges` — the camera spanning tree when the Stitcher provides it,
+    consecutive chain order otherwise), or the full reference DpSeamFinder
+    (component labeling / conflict resolution / seam tips,
+    ref 动态规划....cpp:196-1093).
     warped/masks: NumPy (N, H, W, C) / (N, H, W). Returns (N, H, W) bool."""
     n = len(masks)
     if cfg.seam.kind == "graphcut":
         from imagestitch_tpu.seam.graphcut import graphcut_seam_pair
+        if edges is None:
+            edges = [(i, i + 1) for i in range(n - 1)]
         m_list = [np.asarray(masks[i]) for i in range(n)]
-        for i in range(n - 1):
-            m_list[i], m_list[i + 1] = graphcut_seam_pair(
-                warped[i], warped[i + 1], m_list[i], m_list[i + 1])
+        for (u, v) in edges:
+            m_list[u], m_list[v] = graphcut_seam_pair(
+                warped[u], warped[v], m_list[u], m_list[v])
         return np.stack(m_list)
     from imagestitch_tpu.seam.dp_full import dp_seam_find_full
     out = dp_seam_find_full(
@@ -135,16 +139,21 @@ def _blend_resolved(images: jnp.ndarray, seam_masks: jnp.ndarray,
 
 
 def _seam_and_blend(images: jnp.ndarray, masks: jnp.ndarray,
-                    cfg: PipelineConfig, src_w: int | None = None):
-    """Pairwise seam resolution in chain order + blend, on shared-frame
-    batched canvases (N, H, W, C) / (N, H, W). Mirrors the reference's
-    seam_finder->find + mask dilation + blender feed/blend
-    (ref 特征点检测.cpp:1128-1183). `src_w` (source image width) bounds the
-    pairwise overlap width so the DP seam can run on a column window."""
+                    cfg: PipelineConfig, src_w: int | None = None,
+                    src_h: int | None = None, edges=None):
+    """Pairwise seam resolution + blend on shared-frame batched canvases
+    (N, H, W, C) / (N, H, W). Mirrors the reference's seam_finder->find +
+    mask dilation + blender feed/blend (ref 特征点检测.cpp:1128-1183).
+    `edges` orders the pairwise resolution — the camera spanning tree from
+    the Stitcher (so only actually-adjacent images get seams), consecutive
+    chain order when None. `src_w`/`src_h` (source image size) bound the
+    pairwise overlap extent so the DP seam can run on a window."""
     n = images.shape[0]
-    max_w = None
+    max_w = max_h = None
     if src_w is not None:
         max_w = -(-int(round(1.3 * src_w)) // 128) * 128
+    if src_h is not None:
+        max_h = -(-int(round(1.3 * src_h)) // 128) * 128
 
     if cfg.blend.kind == "ramp":
         # the ramp composite is anchored on an explicit seam COLUMN, so it
@@ -163,8 +172,10 @@ def _seam_and_blend(images: jnp.ndarray, masks: jnp.ndarray,
 
     seam_masks = [masks[i] for i in range(n)]
     if cfg.seam.kind != "none":
-        for i in range(n - 1):
-            a, b = seam_masks[i], seam_masks[i + 1]
+        if edges is None:
+            edges = [(i, i + 1) for i in range(n - 1)]
+        for (u, v) in edges:
+            a, b = seam_masks[u], seam_masks[v]
             if cfg.seam.kind == "voronoi":
                 a2, b2 = voronoi_seam_pair(a, b)
             else:
@@ -172,9 +183,11 @@ def _seam_and_blend(images: jnp.ndarray, masks: jnp.ndarray,
                 # drivers route them through _host_seam_masks BEFORE the
                 # jitted blend); inside jit the DP scan is the seam
                 use_grad = cfg.seam.kind == "dp_colorgrad"
-                a2, b2, _ = dp_seam_pair(images[i], images[i + 1], a, b,
-                                         use_grad, max_overlap_w=max_w)
-            seam_masks[i], seam_masks[i + 1] = a2, b2
+                a2, b2, _ = dp_seam_pair(images[u], images[v], a, b,
+                                         use_grad, max_overlap_w=max_w,
+                                         max_overlap_h=max_h,
+                                         orient=cfg.seam.orient)
+            seam_masks[u], seam_masks[v] = a2, b2
 
     return _blend_resolved(images, jnp.stack(seam_masks), masks, cfg,
                            dilate_seam=cfg.seam.kind != "none")
@@ -203,10 +216,11 @@ def _warp_all_shared(images: jnp.ndarray, cams: CameraParams, scale,
     Ks = cams.K()
     bounds = [roi_bounds(Ks[i], cams.R[i], scale, (H, W), cfg.warp.kind)
               for i in range(n)]
-    u0 = jnp.min(jnp.stack([b[0] for b in bounds]))
-    v0 = jnp.min(jnp.stack([b[1] for b in bounds]))
-    u1 = jnp.max(jnp.stack([b[2] for b in bounds]))
-    v1 = jnp.max(jnp.stack([b[3] for b in bounds]))
+    roi_uvs = jnp.stack([jnp.stack(b) for b in bounds])  # (N, 4) u0,v0,u1,v1
+    u0 = jnp.min(roi_uvs[:, 0])
+    v0 = jnp.min(roi_uvs[:, 1])
+    u1 = jnp.max(roi_uvs[:, 2])
+    v1 = jnp.max(roi_uvs[:, 3])
     corner = jnp.stack([jnp.floor(u0), jnp.floor(v0)]).astype(jnp.int32)
     overflow = ((jnp.ceil(u1) - jnp.floor(u0) + 1 > Wc)
                 | (jnp.ceil(v1) - jnp.floor(v0) + 1 > Hc))
@@ -218,12 +232,11 @@ def _warp_all_shared(images: jnp.ndarray, cams: CameraParams, scale,
         from imagestitch_tpu.warp.projectors import _camera_mats
         k_rinvs = jnp.stack([_camera_mats(Ks[i], cams.R[i])[1]
                              for i in range(n)])
-        roi_uvs = jnp.stack([jnp.stack(b) for b in bounds])
         corners = jnp.broadcast_to(corner, (n, 2))
         warped, masks = pallas_warp_batched(
             images, k_rinvs, scale, corners, roi_uvs, (Hc, Wc),
             cfg.warp.kind)
-        return warped, masks, corner, overflow
+        return warped, masks, corner, overflow, roi_uvs
 
     canvases, mask_list = [], []
     for i in range(n):
@@ -231,7 +244,8 @@ def _warp_all_shared(images: jnp.ndarray, cams: CameraParams, scale,
                        cfg.warp.kind, corner=corner, use_pallas=False)
         canvases.append(r.image)
         mask_list.append(r.mask)
-    return jnp.stack(canvases), jnp.stack(mask_list), corner, overflow
+    return (jnp.stack(canvases), jnp.stack(mask_list), corner, overflow,
+            roi_uvs)
 
 
 # ---------------------------------------------------------------------------
@@ -293,7 +307,7 @@ def stitch_pair_front_impl(img1: jnp.ndarray, img2: jnp.ndarray,
     scale = jnp.median(cams.focal)
     canvas_hw = _pano_canvas_shape((H, W), 2, cfg)
     imgs = jnp.stack([img1, img2])
-    warped, masks, corner, overflow = _warp_all_shared(
+    warped, masks, corner, overflow, roi_uvs = _warp_all_shared(
         imgs, cams, scale, canvas_hw, cfg)
 
     # 7. exposure compensation (ref :1114-1121)
@@ -304,6 +318,7 @@ def stitch_pair_front_impl(img1: jnp.ndarray, img2: jnp.ndarray,
         "num_matches": mi.num_matches(), "num_inliers": mi.num_inliers,
         "confidence": mi.confidence, "focal": cams.focal[0],
         "h_valid": mi.h_valid, "canvas_overflow": overflow,
+        "roi_uv": roi_uvs,
     }
     return warped, masks, corner, metrics
 
@@ -314,11 +329,11 @@ def stitch_pair_impl(img1: jnp.ndarray, img2: jnp.ndarray, key: jax.Array,
     metrics). One XLA program covering the reference's entire 7-stage
     pipeline (特征点检测.cpp:1023-1185). Unjitted implementation — jit via
     `stitch_pair_core`, vmap via parallel.batch."""
-    W = img1.shape[1]
+    H, W = img1.shape[:2]
     warped, masks, corner, metrics = stitch_pair_front_impl(
         img1, img2, key, cfg)
     # 8-10. seam + mask postprocess + blend (ref :1128-1183)
-    pano, valid = _seam_and_blend(warped, masks, cfg, src_w=W)
+    pano, valid = _seam_and_blend(warped, masks, cfg, src_w=W, src_h=H)
     return pano, valid, corner, metrics
 
 
@@ -355,6 +370,19 @@ def stitch_chain_front_impl(imgs: jnp.ndarray, key: jax.Array,
 
     mis = jax.vmap(one)(idx, keys)
 
+    # chain resilience (round-2 weak #8): a broken pair — invalid H or
+    # confidence at/below the keep threshold (ref conf_thresh = 1,
+    # 特征点检测.cpp leaveBiggestComponent semantics) — snaps the rotation
+    # chain, and every image downstream of the break would land at
+    # identity on top of image 0. A consecutive chain has no indirect
+    # pair to splice through, so mark downstream images unreachable and
+    # remove them from the canvas; `metrics["reachable"]` reports which
+    # images composed.
+    good = mis.h_valid & (mis.confidence > cfg.matcher.conf_thresh)
+    reachable = jnp.concatenate([
+        jnp.ones((1,), bool),
+        jnp.cumprod(good.astype(jnp.int32)).astype(bool)])
+
     sizes = jnp.broadcast_to(jnp.asarray([Hw, Ww], jnp.int32), (N, 2))
     cams = estimate_cameras(mis.H, mis.h_valid, sizes)
 
@@ -375,15 +403,17 @@ def stitch_chain_front_impl(imgs: jnp.ndarray, key: jax.Array,
 
     scale = jnp.median(cams.focal)
     canvas_hw = _pano_canvas_shape((H, W), N, cfg)
-    warped, masks, corner, overflow = _warp_all_shared(
+    warped, masks, corner, overflow, roi_uvs = _warp_all_shared(
         imgs, cams, scale, canvas_hw, cfg)
+    masks = masks & reachable[:, None, None]
 
     warped = _apply_exposure(warped, masks, cfg)
 
     metrics = {
         "num_inliers": mis.num_inliers, "confidence": mis.confidence,
         "h_valid": mis.h_valid, "focal": cams.focal[0],
-        "canvas_overflow": overflow,
+        "canvas_overflow": overflow, "roi_uv": roi_uvs,
+        "reachable": reachable,
     }
     return warped, masks, corner, metrics
 
@@ -392,9 +422,9 @@ def stitch_chain_impl(imgs: jnp.ndarray, key: jax.Array,
                       cfg: PipelineConfig = PipelineConfig()):
     """(N, H, W, 3) chain -> (pano canvas, valid, corner, metrics), one XLA
     program including seam + blend."""
-    W = imgs.shape[2]
+    H, W = imgs.shape[1:3]
     warped, masks, corner, metrics = stitch_chain_front_impl(imgs, key, cfg)
-    pano, valid = _seam_and_blend(warped, masks, cfg, src_w=W)
+    pano, valid = _seam_and_blend(warped, masks, cfg, src_w=W, src_h=H)
     return pano, valid, corner, metrics
 
 
@@ -450,7 +480,8 @@ def stitch_pair(img1, img2, config: PipelineConfig | None = None, seed: int = 0)
             valid = np.asarray(valid)
     pano, valid = _crop_valid(pano, valid)
     out = np.clip(pano, 0, 255).astype(np.uint8)
-    m = {k: np.asarray(v).item() for k, v in metrics.items()}
+    m = {k: (np.asarray(v).item() if np.asarray(v).size == 1
+             else np.asarray(v).tolist()) for k, v in metrics.items()}
     m.update(timer.summary())
     return out, m
 
@@ -576,11 +607,11 @@ class Stitcher:
         with timer.stage("cameras"):
             conf = np.asarray(ms.confidence)
             keep = conf > cfg.matcher.conf_thresh
-            cams = estimate_cameras_host(
+            cams, tree_edges = estimate_cameras_host(
                 np.asarray(ms.H), np.asarray(ms.src_idx),
                 np.asarray(ms.dst_idx), np.asarray(ms.num_inliers),
                 np.asarray(ms.h_valid) & keep,
-                np.asarray([[Hw, Ww]] * n))
+                np.asarray([[Hw, Ww]] * n), return_tree=True)
 
         if cfg.camera.ba_refine:
             with timer.stage("bundle_adjust"):
@@ -603,7 +634,7 @@ class Stitcher:
         with timer.stage("warp"):
             scale = jnp.median(cams.focal)
             canvas_hw = _pano_canvas_shape((H, W), n, cfg)
-            warped, masks, corner, overflow = _warp_all_shared(
+            warped, masks, corner, overflow, _ = _warp_all_shared(
                 imgs, cams, scale, canvas_hw, cfg)
             jax.block_until_ready(warped)
 
@@ -613,16 +644,22 @@ class Stitcher:
         dump("warped", warped=warped, masks=masks, corner=corner)
 
         with timer.stage("seam_blend"):
+            # seams resolved along the camera spanning tree's edges — the
+            # actual adjacency the MST estimator recovered — instead of
+            # input index order (round-2 weak #5: a shuffled input order
+            # used to seam non-adjacent images)
             if _needs_host_seam(cfg):
                 # host path: native BK maxflow (graphcut) or full
                 # component-machinery DP, then the jitted dilate+blend
                 seam_masks = _host_seam_masks(
-                    np.asarray(warped), np.asarray(masks), cfg)
+                    np.asarray(warped), np.asarray(masks), cfg,
+                    edges=tree_edges)
                 dump("seams", seam_masks=seam_masks)
                 pano, valid = blend_resolved(
                     warped, jnp.asarray(seam_masks), masks, cfg)
             else:
-                pano, valid = _seam_and_blend(warped, masks, cfg, src_w=W)
+                pano, valid = _seam_and_blend(warped, masks, cfg, src_w=W,
+                                              src_h=H, edges=tree_edges)
             pano = np.asarray(pano)
             valid = np.asarray(valid)
 

@@ -120,28 +120,12 @@ def dp_seam_path(cost: jnp.ndarray, chunk: int = 8) -> jnp.ndarray:
     return seam.astype(jnp.int32)
 
 
-def dp_seam_pair(img1: jnp.ndarray, img2: jnp.ndarray,
-                 mask1: jnp.ndarray, mask2: jnp.ndarray,
-                 use_grad: bool = False, max_overlap_w: int | None = None):
-    """Find the optimal vertical seam between two shared-frame images and
-    split their masks along it (ref find/process :87-195 +
-    updateLabelsUsingSeam :960-1093, reduced to the path split).
-
-    The image whose mask centroid lies left keeps the left side (computed
-    dynamically, so the caller need not order the pair). For vertically-
-    arranged pairs, transpose inputs first.
-
-    `max_overlap_w`: static upper bound on the overlap width in columns.
-    When given (the pipeline passes ~1.3x the source width, which a
-    two-view overlap cannot exceed), the DP runs on a dynamic window of that
-    many columns around the overlap instead of the whole canvas — the scan
-    work drops proportionally.
-
-    Returns (mask1', mask2', seam_cols (H,) int32).
-    """
+def _dp_split_vertical(cost: jnp.ndarray, mask1: jnp.ndarray,
+                       mask2: jnp.ndarray, both: jnp.ndarray,
+                       max_overlap_w: int | None):
+    """Vertical-seam mask split on a precomputed cost map. Returns
+    (mask1', mask2', seam_cols (H,) int32)."""
     H, W = mask1.shape
-    both = mask1 & mask2
-    cost = seam_costs(img1, img2, both, use_grad)
     if max_overlap_w is not None and max_overlap_w < W:
         Wd = max_overlap_w
         colhas = jnp.any(both, axis=0)
@@ -165,6 +149,65 @@ def dp_seam_pair(img1: jnp.ndarray, img2: jnp.ndarray,
     m1 = mask1 & (~both | keep1)
     m2 = mask2 & (~both | ~keep1)
     return m1, m2, seam
+
+
+def dp_seam_pair(img1: jnp.ndarray, img2: jnp.ndarray,
+                 mask1: jnp.ndarray, mask2: jnp.ndarray,
+                 use_grad: bool = False, max_overlap_w: int | None = None,
+                 max_overlap_h: int | None = None, orient: str = "vertical"):
+    """Find the optimal seam between two shared-frame images and split
+    their masks along it (ref find/process :87-195 +
+    updateLabelsUsingSeam :960-1093, reduced to the path split).
+
+    The image whose mask centroid lies left (above, for horizontal seams)
+    keeps that side — computed dynamically, so the caller need not order
+    the pair.
+
+    `orient`: "vertical" runs the top-to-bottom column seam; "horizontal"
+    transposes (a left-to-right row seam for stacked pairs); "auto" picks
+    per-call from the overlap extents inside jit via lax.cond — taller-
+    than-wide overlaps get the vertical seam, wider-than-tall get the
+    horizontal one (the same aspect dispatch the host graphcut path does in
+    seam/graphcut.py). With "auto" the returned seam coordinate vector is
+    None (its length is orientation-dependent and lax.cond requires
+    matching shapes).
+
+    `max_overlap_w` / `max_overlap_h`: static upper bounds on the overlap
+    extent ACROSS the seam direction. When given (the pipeline passes
+    ~1.3x the source size, which a two-view overlap cannot exceed), the DP
+    runs on a dynamic window instead of the whole canvas — the scan work
+    drops proportionally.
+
+    Returns (mask1', mask2', seam) — seam is (H,) int32 columns for
+    vertical, (W,) int32 rows for horizontal, None for auto.
+    """
+    both = mask1 & mask2
+    cost = seam_costs(img1, img2, both, use_grad)
+
+    def vertical(c, m1, m2, b):
+        return _dp_split_vertical(c, m1, m2, b, max_overlap_w)
+
+    def horizontal(c, m1, m2, b):
+        m1t, m2t, seam = _dp_split_vertical(c.T, m1.T, m2.T, b.T,
+                                            max_overlap_h)
+        return m1t.T, m2t.T, seam
+
+    if orient == "vertical":
+        return vertical(cost, mask1, mask2, both)
+    if orient == "horizontal":
+        return horizontal(cost, mask1, mask2, both)
+
+    # auto: overlap bbox aspect decides (tall -> vertical seam)
+    col_has = jnp.any(both, axis=0)
+    row_has = jnp.any(both, axis=1)
+    w_ext = jnp.sum(col_has.astype(jnp.int32))
+    h_ext = jnp.sum(row_has.astype(jnp.int32))
+    m1, m2 = jax.lax.cond(
+        h_ext >= w_ext,
+        lambda c, a, b2, b: vertical(c, a, b2, b)[:2],
+        lambda c, a, b2, b: horizontal(c, a, b2, b)[:2],
+        cost, mask1, mask2, both)
+    return m1, m2, None
 
 
 def overlap_extents(both: jnp.ndarray):

@@ -43,7 +43,7 @@ from imagestitch_tpu.seam.voronoi import voronoi_seam_pair
 def _compose_impl(imgs, cams, scale, seam_masks, cfg, canvas_hw):
     """Jit-traceable per-frame composite: warp → exposure → blend with
     frozen registration."""
-    warped, masks, corner, overflow = _warp_all_shared(
+    warped, masks, corner, overflow, _ = _warp_all_shared(
         imgs, cams, scale, canvas_hw, cfg)
     warped = _apply_exposure(warped, masks, cfg)
     pano, valid = _blend_resolved(warped, seam_masks, masks, cfg)
@@ -103,7 +103,7 @@ class StreamStitcher:
         self._scale = jnp.median(cams.focal)
         self._canvas_hw = _pano_canvas_shape((H, W), n, cfg)
 
-        warped, masks, corner, _ = _warp_all_shared(
+        warped, masks, corner, _, _ = _warp_all_shared(
             imgs, self._cams, self._scale, self._canvas_hw, cfg)
         warped = _apply_exposure(warped, masks, cfg)
         if _needs_host_seam(cfg):
@@ -119,7 +119,8 @@ class StreamStitcher:
                     else:
                         a2, b2, _ = dp_seam_pair(
                             warped[i], warped[i + 1], a, b,
-                            cfg.seam.kind == "dp_colorgrad")
+                            cfg.seam.kind == "dp_colorgrad",
+                            orient=cfg.seam.orient)
                     sm_list[i], sm_list[i + 1] = a2, b2
             sm = jnp.stack(sm_list)
         self._seam_masks = sm

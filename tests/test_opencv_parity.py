@@ -167,6 +167,175 @@ class TestWarper:
         assert np.abs(ym[sel] - ymap[sel]).max() < 0.51
 
 
+def _cv_detail_pipeline(img1, img2, seam="dp_color"):
+    """The reference's actual pipeline (ref 特征点检测.cpp:1023-1185) run via
+    stock cv2.detail with matched parameters: ORB → BestOf2NearestMatcher →
+    HomographyBasedEstimator → cylindrical warp at median focal → GAIN →
+    seam → 20x20 dilate → FeatherBlender(5.0).
+
+    cv2 5.0's BundleAdjusterRay/Reproj python bindings are broken (gemm
+    type assert inside calcError), so the camera set is the homography
+    estimate alone — the framework side must run with ba_refine=False to
+    match. Returns dict(pano, mask, corners, dst_roi, focal).
+    """
+    imgs = [img1, img2]
+    h, w = img1.shape[:2]
+    finder = cv2.ORB_create(nfeatures=1500)
+    features = [cv2.detail.computeImageFeatures2(finder, im) for im in imgs]
+    matcher = cv2.detail_BestOf2NearestMatcher(False, 0.3)
+    p_matches = matcher.apply2(features)
+    estimator = cv2.detail_HomographyBasedEstimator()
+    ok, cameras = estimator.apply(features, p_matches, None)
+    assert ok
+    ok, cameras = cv2.detail_NoBundleAdjuster().apply(
+        features, p_matches, cameras)
+    assert ok
+
+    focal = float(np.median([c.focal for c in cameras]))
+    warper = cv2.PyRotationWarper("cylindrical", focal)
+    corners, images_warped, masks_warped = [], [], []
+    for i, im in enumerate(imgs):
+        K = cameras[i].K().astype(np.float32)
+        R = cameras[i].R.astype(np.float32)
+        corner, image_wp = warper.warp(im, K, R, cv2.INTER_LINEAR,
+                                       cv2.BORDER_REFLECT)
+        _, mask_wp = warper.warp(np.full((h, w), 255, np.uint8), K, R,
+                                 cv2.INTER_NEAREST, cv2.BORDER_CONSTANT)
+        corners.append(corner)
+        images_warped.append(image_wp)
+        masks_warped.append(mask_wp)
+
+    comp = cv2.detail.ExposureCompensator_createDefault(
+        cv2.detail.ExposureCompensator_GAIN)
+    comp.feed(corners=corners, images=images_warped, masks=masks_warped)
+    for i in range(2):
+        comp.apply(i, corners[i], images_warped[i], masks_warped[i])
+
+    if seam == "graphcut":
+        seam_finder = cv2.detail_GraphCutSeamFinder("COST_COLOR")
+    else:
+        seam_finder = cv2.detail_DpSeamFinder("COLOR")
+    imgs_f = [im.astype(np.float32) for im in images_warped]
+    masks_seam = seam_finder.find(imgs_f, corners,
+                                  [m.copy() for m in masks_warped])
+    masks_seam = [m.get() if isinstance(m, cv2.UMat) else np.asarray(m)
+                  for m in masks_seam]
+
+    blender = cv2.detail_FeatherBlender()
+    blender.setSharpness(5.0)
+    dst_roi = cv2.detail.resultRoi(corners=corners, images=images_warped)
+    blender.prepare(dst_roi)
+    for i in range(2):
+        mseam = cv2.dilate(masks_seam[i], cv2.getStructuringElement(
+            cv2.MORPH_RECT, (20, 20)))
+        mseam = cv2.bitwise_and(mseam, masks_warped[i])
+        blender.feed(images_warped[i].astype(np.int16), mseam, corners[i])
+    pano, pano_mask = blender.blend(None, None)
+    return {
+        "pano": np.clip(pano, 0, 255).astype(np.uint8),
+        "mask": np.asarray(pano_mask) > 0,
+        "corners": np.asarray(corners, np.float64),
+        "dst_roi": np.asarray(dst_roi),
+        "focal": focal,
+    }
+
+
+class TestEndToEnd:
+    """FULL-pipeline differential — the reference's actual correctness
+    standard (every main() composes all 7 stages and compares the pano
+    against stock OpenCV, ref 特征点检测.cpp:1023-1185, golden pano.jpg at
+    :1184). Stage oracles alone can pass while integration bugs (corner
+    bookkeeping, dilation order, gain-before-seam) diverge the pano; these
+    tests compose the whole chain on both sides."""
+
+    @pytest.fixture(scope="class")
+    def cv_out(self, rot_pair):
+        img1, img2, _, _ = rot_pair
+        return _cv_detail_pipeline(img1, img2)
+
+    @pytest.fixture(scope="class")
+    def ours_out(self, rot_pair):
+        from imagestitch_tpu import pipeline as pl
+        from imagestitch_tpu.config import PipelineConfig, CameraConfig
+
+        img1, img2, _, _ = rot_pair
+        cfg = PipelineConfig().replace(camera=CameraConfig(ba_refine=False))
+        pano, valid, corner, metrics = pl.stitch_pair_core(
+            jnp.asarray(img1, jnp.float32), jnp.asarray(img2, jnp.float32),
+            jax.random.key(0), cfg)
+        return {
+            "pano": np.asarray(pano),
+            "valid": np.asarray(valid),
+            "corner": np.asarray(corner),
+            "focal": float(np.asarray(metrics["focal"])),
+            "roi_uv": np.asarray(metrics["roi_uv"]),
+        }
+
+    def test_camera_and_corner_agreement(self, rot_pair, cv_out, ours_out):
+        """Median focal and per-image warped-ROI corners from the two
+        full chains agree (focal ~5%: different detectors feed RANSAC)."""
+        _, _, _, f_true = rot_pair
+        assert abs(ours_out["focal"] - cv_out["focal"]) \
+            / cv_out["focal"] < 0.06
+        assert abs(ours_out["focal"] - f_true) / f_true < 0.06
+        # cv corner i = integer top-left of image i's warped ROI
+        scale_ratio = cv_out["focal"] / ours_out["focal"]
+        for i in range(2):
+            u0, v0 = ours_out["roi_uv"][i, 0], ours_out["roi_uv"][i, 1]
+            cu, cvn = cv_out["corners"][i]
+            # compare in cv's scale (warped coords are proportional to the
+            # warp scale = focal). Residual tolerance: the closed-form
+            # focal is ±4% sensitive to the tiny perspective terms of H
+            # (both H's are sub-pixel, verified above), and corner =
+            # focal·angle inherits that spread beyond the pure scale ratio.
+            assert abs(u0 * scale_ratio - cu) < 12.0
+            assert abs(v0 * scale_ratio - cvn) < 12.0
+
+    def test_pano_geometry_and_content(self, cv_out, ours_out):
+        """Align the two panos by their global canvas corners and assert
+        valid-region IoU and PSNR over the jointly valid pixels."""
+        pano_o, valid_o = ours_out["pano"], ours_out["valid"]
+        cu, cvn = int(ours_out["corner"][0]), int(ours_out["corner"][1])
+        pano_c, mask_c = cv_out["pano"], cv_out["mask"]
+        x0, y0 = int(cv_out["dst_roi"][0]), int(cv_out["dst_roi"][1])
+
+        gx0, gy0 = max(cu, x0), max(cvn, y0)
+        gx1 = min(cu + pano_o.shape[1], x0 + pano_c.shape[1])
+        gy1 = min(cvn + pano_o.shape[0], y0 + pano_c.shape[0])
+        assert gx1 > gx0 and gy1 > gy0
+        ours = pano_o[gy0 - cvn:gy1 - cvn, gx0 - cu:gx1 - cu]
+        ov = valid_o[gy0 - cvn:gy1 - cvn, gx0 - cu:gx1 - cu]
+        cvs = pano_c[gy0 - y0:gy1 - y0, gx0 - x0:gx1 - x0].astype(np.float32)
+        cm = mask_c[gy0 - y0:gy1 - y0, gx0 - x0:gx1 - x0]
+
+        both = ov & cm
+        iou = both.sum() / (ov | cm).sum()
+        assert iou > 0.95
+        mse = float(np.mean((ours[both] - cvs[both]) ** 2))
+        psnr = 10 * np.log10(255.0 ** 2 / mse)
+        assert psnr > 22.0
+
+    def test_full_auto_vs_cv2_stitcher(self, rot_pair):
+        """Fully-automatic comparison: cv2.Stitcher (its own BA + wave
+        correction + defaults) vs our default stitch_pair (BA on). Pano
+        dimensions must agree within a few percent."""
+        from imagestitch_tpu import stitch_pair
+
+        img1, img2, _, _ = rot_pair
+        st = cv2.Stitcher_create(cv2.Stitcher_PANORAMA)
+        status, pano_cv = st.stitch(
+            [cv2.cvtColor(img1, cv2.COLOR_RGB2BGR),
+             cv2.cvtColor(img2, cv2.COLOR_RGB2BGR)])
+        assert status == cv2.Stitcher_OK
+        pano, metrics = stitch_pair(img1, img2)
+        assert metrics["h_valid"]
+        # loose: Stitcher registers at work_megapix=0.6, wave-corrects, and
+        # composites at its own scale — focal (and hence cylindrical pano
+        # width) differs by several percent from any fixed-param run
+        assert abs(pano.shape[1] - pano_cv.shape[1]) / pano_cv.shape[1] < 0.12
+        assert abs(pano.shape[0] - pano_cv.shape[0]) / pano_cv.shape[0] < 0.12
+
+
 class TestGain:
     def test_gain_solve_vs_opencv(self):
         """cv2.detail GainCompensator vs ours on a 2-image overlap with a

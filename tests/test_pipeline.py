@@ -229,3 +229,67 @@ def test_wave_correct_on_chain():
     pano, m = stitch_chain(views, cfg)
     assert all(m["h_valid"])
     assert pano.shape[1] > 224 + 2 * shift
+
+
+def test_stitcher_shuffled_input_order():
+    """Seams are resolved along the recovered camera spanning tree, not
+    input index order (round-2 weak #5): feeding the same 4-view pan in a
+    shuffled order must produce the same pano content."""
+    from imagestitch_tpu.pipeline import Stitcher
+    from imagestitch_tpu.utils.io import synthetic_sequence
+
+    views, shift = synthetic_sequence(4, 160, 224, overlap=0.5, seed=33)
+    st = Stitcher()
+    pano_sorted, m1 = st.stitch(views)
+    order = [2, 0, 3, 1]
+    pano_shuf, m2 = st.stitch([views[i] for i in order])
+
+    assert abs(pano_sorted.shape[0] - pano_shuf.shape[0]) <= 4
+    assert abs(pano_sorted.shape[1] - pano_shuf.shape[1]) <= 8
+    h = min(pano_sorted.shape[0], pano_shuf.shape[0])
+    w = min(pano_sorted.shape[1], pano_shuf.shape[1])
+    a = pano_sorted[:h, :w].astype(np.float32)
+    b = pano_shuf[:h, :w].astype(np.float32)
+    # identical content up to RNG-key jitter in the per-pair RANSAC and a
+    # few-pixel crop-origin shift (the valid-region crop box moves with
+    # the jittered registration): align over small translations first
+    best = min(
+        np.abs(a[max(0, dy):h + min(0, dy), max(0, dx):w + min(0, dx)]
+               - b[max(0, -dy):h - max(0, dy),
+                   max(0, -dx):w - max(0, dx)]).mean()
+        for dy in range(-6, 7) for dx in range(-6, 7))
+    assert best < 8.0
+
+
+def test_chain_broken_pair_degrades_gracefully():
+    """An unmatchable image mid-chain (round-2 weak #8): the pairs around
+    it fail, downstream images are flagged unreachable and excluded from
+    the canvas instead of landing at identity on top of image 0."""
+    import jax
+    import jax.numpy as jnp
+    from imagestitch_tpu.config import (PipelineConfig, DetectorConfig,
+                                        MatcherConfig, RansacConfig,
+                                        CameraConfig)
+    from imagestitch_tpu.pipeline import stitch_chain_core
+    from imagestitch_tpu.utils.io import synthetic_sequence
+
+    views, shift = synthetic_sequence(4, 160, 224, overlap=0.5, seed=5)
+    rng = np.random.default_rng(0)
+    views[2] = rng.integers(0, 255, views[2].shape).astype(np.uint8)  # noise
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(nfeatures=128, max_keypoints=384),
+        matcher=MatcherConfig(max_matches=192),
+        ransac=RansacConfig(num_hypotheses=256),
+        camera=CameraConfig(ba_refine=False))
+    imgs = jnp.asarray(np.stack(views), jnp.float32)
+    pano, valid, corner, m = stitch_chain_core(imgs, jax.random.key(0), cfg)
+    reach = np.asarray(m["reachable"])
+    assert reach[0] and reach[1]
+    assert not reach[2] and not reach[3]
+    assert np.isfinite(np.asarray(pano)).all()
+    # the composed region covers images 0-1 (≈ W + shift wide), NOT the
+    # full 4-image span
+    cols = np.asarray(valid).any(axis=0)
+    w_used = int(cols.sum())
+    assert 224 + shift - 40 <= w_used <= 224 + 2 * shift

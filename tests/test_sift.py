@@ -159,3 +159,87 @@ def test_sift_descriptor_stability_under_rotation():
             good += 1
     assert total >= 10, f"only {total} confident matches"
     assert good / total > 0.7, f"rotation match rate {good}/{total}"
+
+
+class TestSiftVsOpenCV:
+    """Differential vs cv2.SIFT (installed; the detector the reference's
+    README builds NONFREE for, ref README.md:14-24; BASELINE.json's north
+    star names SIFT). The oracle is BEHAVIORAL: cross-view repeatability
+    under the known ground-truth homography and descriptor match quality —
+    pinned to (and compared against) what cv2.SIFT achieves on the same
+    scene — not keypoint-set identity, which no two SIFT implementations
+    share."""
+
+    @staticmethod
+    def _setup():
+        import pytest
+        cv2 = pytest.importorskip("cv2")
+        from imagestitch_tpu.utils.io import synthetic_rotation_pair
+        from imagestitch_tpu.ops.image import rgb_to_gray
+
+        img1, img2, H_true, _ = synthetic_rotation_pair(
+            360, 480, yaw_deg=9.0, pitch_deg=1.0, roll_deg=2.0, seed=11)
+        cfg = DetectorConfig(kind="sift")
+        f1 = detect(rgb_to_gray(jnp.asarray(img1, jnp.float32)), cfg)
+        f2 = detect(rgb_to_gray(jnp.asarray(img2, jnp.float32)), cfg)
+        return cv2, img1, img2, H_true, f1, f2
+
+    @staticmethod
+    def _proj(xy, H):
+        q = np.concatenate([xy, np.ones((len(xy), 1))], 1) @ H.T
+        return q[:, :2] / q[:, 2:]
+
+    @staticmethod
+    def _repeatability(xy1, xy2, H, hw, r=2.0):
+        proj = TestSiftVsOpenCV._proj(xy1, H)
+        h, w = hw
+        inb = ((proj[:, 0] >= 0) & (proj[:, 0] < w)
+               & (proj[:, 1] >= 0) & (proj[:, 1] < h))
+        if inb.sum() == 0:
+            return 0.0, 0
+        d = np.sqrt(((proj[inb][:, None] - xy2[None]) ** 2).sum(-1)).min(1)
+        return float((d < r).mean()), int(inb.sum())
+
+    def test_repeatability_matches_cv2(self):
+        """Our detector's cross-view repeatability under H_true is >= 70%
+        and within 5 points of cv2.SIFT's own on the same scene."""
+        cv2, img1, img2, H_true, f1, f2 = self._setup()
+        v1 = np.asarray(f1.valid)
+        v2 = np.asarray(f2.valid)
+        assert v1.sum() > 200 and v2.sum() > 200
+        xy1 = np.asarray(f1.xy)[v1]
+        xy2 = np.asarray(f2.xy)[v2]
+        rep_ours, n_ours = self._repeatability(xy1, xy2, H_true, (360, 480))
+
+        g1 = cv2.cvtColor(img1, cv2.COLOR_RGB2GRAY)
+        g2 = cv2.cvtColor(img2, cv2.COLOR_RGB2GRAY)
+        sift = cv2.SIFT_create()
+        k1, _ = sift.detectAndCompute(g1, None)
+        k2, _ = sift.detectAndCompute(g2, None)
+        rep_cv, n_cv = self._repeatability(
+            np.array([k.pt for k in k1]), np.array([k.pt for k in k2]),
+            H_true, (360, 480))
+
+        assert n_ours > 150
+        assert rep_ours > 0.70, rep_ours
+        assert rep_ours > rep_cv - 0.05, (rep_ours, rep_cv)
+
+    def test_descriptor_match_rate(self):
+        """L2 ratio-test matches between the two views: >= 150 confident
+        matches of which >= 75% are consistent with the ground-truth H."""
+        cv2, img1, img2, H_true, f1, f2 = self._setup()
+        v1 = np.asarray(f1.valid)
+        v2 = np.asarray(f2.valid)
+        D = np.asarray(l2_distance_matrix(f1.descriptors, f2.descriptors))
+        D = D[np.ix_(v1.nonzero()[0], v2.nonzero()[0])]
+        nn = np.argsort(D, axis=1)[:, :2]
+        d0 = D[np.arange(len(D)), nn[:, 0]]
+        d1 = D[np.arange(len(D)), nn[:, 1]]
+        conf = d0 < 0.75 * d1
+        assert conf.sum() >= 150, int(conf.sum())
+
+        xy1 = np.asarray(f1.xy)[v1][conf]
+        xy2 = np.asarray(f2.xy)[v2][nn[conf, 0]]
+        proj = self._proj(xy1, H_true)
+        good = np.linalg.norm(proj - xy2, axis=1) < 3.0
+        assert good.mean() > 0.75, float(good.mean())
