@@ -27,7 +27,8 @@ from imagestitch_tpu.ops.image import gaussian_blur
 from imagestitch_tpu.ops.pyramid import build_pyramid, level_scale
 from imagestitch_tpu.features.fast import fast_score_map, harris_map, nms3x3
 from imagestitch_tpu.features.pattern import (
-    brief_pattern, ic_angle_offsets, orb_tuple_pattern)
+    brief_pattern, brief_pattern_opencv, ic_angle_offsets,
+    orb_tuple_pattern)
 from imagestitch_tpu.types import ImageFeatures
 
 
@@ -132,7 +133,11 @@ def _orb_descriptors(blurred: jnp.ndarray, xk: jnp.ndarray, yk: jnp.ndarray,
     matching stack (matching.hamming) applies unchanged to every mode.
     """
     if cfg.wta_k == 2:
-        pat = jnp.asarray(brief_pattern(256, cfg.patch_size), jnp.float32)
+        if cfg.pattern == "opencv":
+            pat = jnp.asarray(brief_pattern_opencv(), jnp.float32)
+        else:
+            pat = jnp.asarray(brief_pattern(256, cfg.patch_size),
+                              jnp.float32)
         vals = _rotated_gather(blurred, xk, yk, angles, pat)   # (K, 512)
         return (vals[:, 0::2] < vals[:, 1::2]).astype(jnp.uint8)
 

@@ -4,15 +4,22 @@ The reference bakes in OpenCV's learned 256-pair `bit_pattern_31_` table
 (ref 特征点检测.cpp:448-706) next to a `makeRandomPattern` fallback (:709-719)
 that draws uniform points in the patch. This framework generates its own
 deterministic pattern (seeded Gaussian, the BRIEF paper's recommended
-σ = patch_size/5 distribution) rather than shipping OpenCV's learned table:
-descriptors are self-consistent within the framework, which is what matching
-requires, and the generator reproduces the reference's `makeRandomPattern`
-capability.
+σ = patch_size/5 distribution) by default: descriptors are self-consistent
+within the framework, which is what matching requires, and the generator
+reproduces the reference's `makeRandomPattern` capability.
+
+For differential testing against cv2.ORB, `brief_pattern_opencv` loads
+OpenCV's learned table (data/orb_pattern_cv.npy — the bit_pattern_31_
+DATA from OpenCV's orb.cpp, BSD-3-Clause, trained offline by Rublee et
+al. for low inter-bit correlation; the reference transcribes the same
+table at 特征点检测.cpp:448-706). Select it with
+DetectorConfig(pattern="opencv").
 """
 
 from __future__ import annotations
 
 import functools
+from pathlib import Path
 
 import numpy as np
 
@@ -49,6 +56,18 @@ def brief_pattern(n_pairs: int = 256, patch_size: int = 31,
     b[same, 0] = np.clip(b[same, 0] + 1, -rmax, rmax)
     pts[1::2] = b
     return pts
+
+
+@functools.lru_cache(maxsize=None)
+def brief_pattern_opencv() -> np.ndarray:
+    """OpenCV's learned 256-pair sampling table as (512, 2) int32 (x, y)
+    offsets, pairs interleaved like `brief_pattern` (bit b compares points
+    2b and 2b+1). Offsets lie within the 31x31 patch (|x|,|y| <= 13), so
+    rotated samples stay inside the edge_threshold border like the
+    framework pattern's."""
+    data = np.load(Path(__file__).resolve().parent / "data"
+                   / "orb_pattern_cv.npy")                  # (256, 4) int8
+    return data.reshape(512, 2).astype(np.int32)
 
 
 @functools.lru_cache(maxsize=None)

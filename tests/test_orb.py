@@ -255,3 +255,68 @@ def test_ic_angles_prefix_matches_patch_gather():
     new = np.asarray(_ic_angles(img, xk, yk, 15))
     err = np.abs(np.angle(np.exp(1j * (ref - new)))).max()
     assert err < 2e-3, err
+
+
+class TestOrbVsOpenCV:
+    """Differential vs cv2.ORB (VERDICT r3 item 10; the reference's own
+    golden methodology is side-by-side original-vs-reconstructed keypoints,
+    ref 特征点检测.cpp:1047-1054)."""
+
+    @staticmethod
+    def _setup():
+        import pytest
+        cv2 = pytest.importorskip("cv2")
+        from imagestitch_tpu.ops.image import rgb_to_gray
+        img, _, _ = synthetic_pair(480, 640, seed=0)
+        gray8 = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        grayf = np.asarray(rgb_to_gray(jnp.asarray(img, jnp.float32)))
+        orb = cv2.ORB_create(nfeatures=510, scaleFactor=1.3, nlevels=5,
+                             edgeThreshold=31, patchSize=31,
+                             fastThreshold=20)
+        return cv2, img, gray8, grayf, orb
+
+    def test_keypoint_repeatability(self):
+        """Most cv2.ORB keypoints have one of ours within 3 px and vice
+        versa (detectors differ in selection: block-max + per-cell quotas
+        here vs retainBest there; measured 0.69/0.74 @3px)."""
+        cv2, img, gray8, grayf, orb = self._setup()
+        kps = orb.detect(gray8, None)
+        cxy = np.array([k.pt for k in kps], np.float32)
+
+        cfg = DetectorConfig()
+        ours = detect_and_compute(jnp.asarray(grayf), cfg)
+        oxy = np.asarray(ours.xy)[np.asarray(ours.valid)]
+
+        d = np.linalg.norm(cxy[:, None, :] - oxy[None, :, :], axis=-1)
+        assert (d.min(1) <= 3.0).mean() > 0.55   # cv2 kpts found by ours
+        assert (d.min(0) <= 3.0).mean() > 0.55   # ours found by cv2
+
+    def test_opencv_pattern_descriptor_bits_match(self):
+        """With DetectorConfig(pattern="opencv") our rotated-BRIEF sampler
+        reproduces cv2.ORB's descriptor BITS on cv2's own keypoints/angles
+        (level-0): measured 95.3% mean bit agreement — residual is blur/
+        resize rounding. Framework-pattern descriptors CANNOT match (the
+        point pairs differ), so this pins the whole sampling pipeline:
+        pattern data, rotation rounding (GET_VALUE cvRound), blur, and
+        bit order."""
+        cv2, img, gray8, grayf, orb = self._setup()
+        from imagestitch_tpu.features.orb import _orb_descriptors
+        from imagestitch_tpu.ops.image import gaussian_blur
+
+        kps, desc = orb.detectAndCompute(gray8, None)
+        sel = [i for i, k in enumerate(kps) if k.octave == 0]
+        assert len(sel) >= 20
+        xk = jnp.asarray(np.round([kps[i].pt[0] for i in sel])
+                         .astype(np.int32))
+        yk = jnp.asarray(np.round([kps[i].pt[1] for i in sel])
+                         .astype(np.int32))
+        ang = jnp.asarray(np.deg2rad([kps[i].angle for i in sel])
+                          .astype(np.float32))
+        blurred = gaussian_blur(jnp.asarray(grayf), 7, 2.0)
+
+        cfg = DetectorConfig(pattern="opencv")
+        dd = np.asarray(_orb_descriptors(blurred, xk, yk, ang, cfg))
+        cvbits = np.unpackbits(desc[sel], axis=1, bitorder="little")
+        agree = (dd == cvbits).mean(axis=1)
+        assert agree.mean() > 0.88
+        assert np.median(agree) > 0.90
