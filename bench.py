@@ -1,9 +1,22 @@
-"""Benchmark: end-to-end 2-image 1080p stitch latency on one TPU chip.
+"""Benchmark: end-to-end stitch latency + BASELINE.json config sweep on one
+TPU chip.
 
-Target (BASELINE.md, driver-specified: the reference publishes no numbers):
-< 50 ms per 1080p pair on one chip. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+Headline (BASELINE.md, driver-specified: the reference publishes no
+numbers): < 50 ms per 1080p pair on one chip. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N, "extra": {...}}
 vs_baseline = 50ms / measured  (>1 means faster than target).
+
+`extra` records the other BASELINE.json configs (all measured here, same
+methodology):
+  first_call_s            compile+run of the flagship program (operability)
+  mp_per_s                input megapixels/s at the headline latency
+  sift_kpts_per_s         SIFT detect+describe throughput, 1080p
+  ransac_hyp_per_s        RANSAC hypothesis throughput (2048/dispatch)
+  batched_vga_pairs_per_s 32 VGA pairs per dispatch (configs[4])
+  batched_1080p_pairs_per_s  8 pairs 1080p per dispatch
+  chain8_1080p_ms         8-image 1080p jitted chain (configs[3])
+  chain4_cyl_ms           4-image cylindrical chain (configs[1])
+  mb_dp_1080p_ms          DP seam + 5-band multiband blend pair (configs[2])
 
 Timing methodology (per-call): the dev environment reaches the TPU through a
 tunnel whose block_until_ready acks before device completion, so only a
@@ -11,10 +24,10 @@ scalar readback is a true completion barrier. Each measured call is ONE
 jitted dispatch returning ONE scalar that depends on every output (full pano
 sum + metrics, so XLA cannot dead-code-eliminate any stage), timed
 wall-clock; the separately measured tunnel round-trip latency of that same
-scalar readback on a trivial program is subtracted. Two scenes are measured
-— a pure x-translation pair and a rotation+perspective pair (10 deg yaw +
-pitch/roll, ground-truth homography known) — and the WORST median of the two
-is reported, so the headline is not translation-only.
+scalar readback on a trivial program is subtracted. For the headline, two
+scenes are measured — a pure x-translation pair and a rotation+perspective
+pair (10 deg yaw + pitch/roll, ground-truth homography known) — and the
+WORST median of the two is reported, so the headline is not translation-only.
 """
 
 from __future__ import annotations
@@ -25,6 +38,158 @@ import sys
 import time
 
 import numpy as np
+
+
+def time_of(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def median_ms(fn, lat, reps=5):
+    """Median wall-clock ms of fn() minus tunnel latency. fn must end in a
+    scalar readback."""
+    fn()  # warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append((time.perf_counter() - t0 - lat) * 1e3)
+    return float(np.median(times))
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def extras_bench(lat, extra):
+    """BASELINE.json configs[0..4] + throughput metrics. Each section is
+    independent and failure-isolated (a compile OOM on one config must not
+    kill the headline artifact)."""
+    import jax
+    import jax.numpy as jnp
+    from imagestitch_tpu.config import (PipelineConfig, SeamConfig,
+                                        BlendConfig, DetectorConfig)
+    from imagestitch_tpu.pipeline import stitch_pair_impl, stitch_chain_impl
+    from imagestitch_tpu.parallel.batch import stitch_pairs_batched
+    from imagestitch_tpu.utils.io import synthetic_pair, synthetic_sequence
+
+    key = jax.random.key(0)
+
+    def run(name, fn):
+        try:
+            t0 = time.perf_counter()
+            fn()
+            _log(f"extras[{name}]: done ({time.perf_counter() - t0:.1f}s)")
+        except Exception as e:  # noqa: BLE001 — isolate config failures
+            _log(f"extras[{name}]: FAILED {type(e).__name__}: {e}")
+
+    # --- SIFT kpts/sec, 1080p (BASELINE.json metric string) ---------------
+    def sift_bench():
+        from imagestitch_tpu.features import detect
+        from imagestitch_tpu.ops.image import rgb_to_gray
+        dcfg = DetectorConfig(kind="sift")
+        img, _, _ = synthetic_pair(1080, 1920, seed=3)
+        gray = rgb_to_gray(jnp.asarray(img, jnp.float32))
+
+        @jax.jit
+        def f(g):
+            ft = detect(g, dcfg)
+            return (ft.xy.sum() + ft.descriptors.sum()
+                    + ft.valid.sum()), ft.valid.sum()
+
+        _, nkpt = f(gray)
+        nkpt = int(nkpt)
+        ms = median_ms(lambda: float(f(gray)[0]), lat)
+        extra["sift_kpts_per_s"] = round(nkpt / (ms / 1e3), 1)
+        _log(f"  sift: {nkpt} kpts in {ms:.1f} ms")
+    run("sift", sift_bench)
+
+    # --- RANSAC hypotheses/sec (BASELINE.json metric string) --------------
+    def ransac_bench():
+        from imagestitch_tpu.geometry.ransac import find_homography
+        from imagestitch_tpu.config import RansacConfig
+        rcfg = RansacConfig()
+        rng = np.random.default_rng(0)
+        n = 512
+        src = rng.uniform(-300, 300, (n, 2)).astype(np.float32)
+        Ht = np.array([[1.0, 0.02, 40.0], [-0.015, 1.0, 8.0],
+                       [1e-5, -2e-5, 1.0]], np.float32)
+        p = np.concatenate([src, np.ones((n, 1), np.float32)], 1) @ Ht.T
+        dst = (p[:, :2] / p[:, 2:]).astype(np.float32)
+        dst[n // 2:] += rng.uniform(-80, 80, (n - n // 2, 2))  # outliers
+        mask = np.ones((n,), bool)
+
+        @jax.jit
+        def f(s, d, m, k):
+            r = find_homography(s, d, m, k, rcfg)
+            return r.H.sum() + r.num_inliers
+
+        s, d, m = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(mask)
+        ms = median_ms(lambda: float(f(s, d, m, key)), lat)
+        extra["ransac_hyp_per_s"] = round(
+            rcfg.num_hypotheses / (ms / 1e3), 1)
+        _log(f"  ransac: {rcfg.num_hypotheses} hyp in {ms:.2f} ms")
+    run("ransac", ransac_bench)
+
+    # --- batched throughput (configs[4]) ----------------------------------
+    def batched(B, H, W, label):
+        cfg = PipelineConfig()
+        i1, i2, _ = synthetic_pair(H, W, overlap=0.4, seed=0)
+        pair = np.stack([i1, i2]).astype(np.float32)
+        pairs = jnp.asarray(np.broadcast_to(pair, (B,) + pair.shape).copy())
+        keys = jax.random.split(key, B)
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def f(ps, ks, cfg):
+            p, v, c, mt = stitch_pairs_batched(ps, ks, cfg)
+            return (p.sum() + v.sum() + c.sum()
+                    + mt["num_inliers"].sum())
+
+        ms = median_ms(lambda: float(f(pairs, keys, cfg)), lat)
+        extra[f"batched_{label}_pairs_per_s"] = round(B / (ms / 1e3), 1)
+        _log(f"  batched {label}: {B} pairs in {ms:.1f} ms")
+    run("batched_vga", lambda: batched(32, 480, 640, "vga"))
+    run("batched_1080p", lambda: batched(8, 1080, 1920, "1080p"))
+
+    # --- N-image chains (configs[1], configs[3]) --------------------------
+    def chain(n, H, W, label):
+        cfg = PipelineConfig()  # default warp is cylindrical, like the ref
+        views, _ = synthetic_sequence(n, H, W, overlap=0.5, seed=7)
+        imgs = jnp.asarray(np.stack(views), jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def f(im, k, cfg):
+            p, v, c, mt = stitch_chain_impl(im, k, cfg)
+            return (p.sum() + v.sum() + c.sum()
+                    + mt["num_inliers"].sum()), mt["h_valid"]
+
+        _, hv = f(imgs, key, cfg)
+        ok = bool(jnp.all(hv))
+        ms = median_ms(lambda: float(f(imgs, key, cfg)[0]), lat)
+        extra[f"chain{n}_{label}_ms"] = round(ms, 2)
+        _log(f"  chain{n} {label}: {ms:.1f} ms all_valid={ok}")
+    run("chain4_cyl", lambda: chain(4, 480, 640, "cyl"))
+    run("chain8_1080p", lambda: chain(8, 1080, 1920, "1080p"))
+
+    # --- DP seam + multiband blend pair (configs[2]) ----------------------
+    def mb_pair():
+        cfg = PipelineConfig(
+            seam=SeamConfig(kind="dp_color"),
+            blend=BlendConfig(kind="multiband", num_bands=5))
+        i1, i2, _ = synthetic_pair(1080, 1920, overlap=0.4, seed=0)
+        a1 = jnp.asarray(i1, jnp.float32)
+        a2 = jnp.asarray(i2, jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def f(x, y, k, cfg):
+            p, v, c, mt = stitch_pair_impl(x, y, k, cfg=cfg)
+            return p.sum() + v.sum() + c.sum() + mt["num_inliers"]
+
+        ms = median_ms(lambda: float(f(a1, a2, key, cfg)), lat)
+        extra["mb_dp_1080p_ms"] = round(ms, 2)
+        _log(f"  multiband+dp 1080p pair: {ms:.1f} ms")
+    run("multiband", mb_pair)
 
 
 def main():
@@ -58,15 +223,16 @@ def main():
     # compiled program: same static shapes)
     t0 = time.perf_counter()
     s, m = bench_fn(*scenes["translation"], key, cfg)
+    first_call_s = time.perf_counter() - t0
     h_valid = bool(m["h_valid"])
     inliers = int(m["num_inliers"])
-    print(f"first call (compile+run): {time.perf_counter() - t0:.1f}s "
-          f"backend={jax.default_backend()} h_valid={h_valid} "
-          f"inliers={inliers}", file=sys.stderr)
+    _log(f"first call (compile+run): {first_call_s:.1f}s "
+         f"backend={jax.default_backend()} h_valid={h_valid} "
+         f"inliers={inliers}")
     s2, m2 = bench_fn(*scenes["rotation"], key, cfg)
     rot_valid = bool(m2["h_valid"])
-    print(f"rotation scene: h_valid={rot_valid} "
-          f"inliers={int(m2['num_inliers'])}", file=sys.stderr)
+    _log(f"rotation scene: h_valid={rot_valid} "
+         f"inliers={int(m2['num_inliers'])}")
     if not (h_valid and rot_valid):
         print(json.dumps({"metric": "stitch_2x1080p_latency", "value": -1.0,
                           "unit": "ms", "vs_baseline": 0.0}))
@@ -77,7 +243,7 @@ def main():
     small = jnp.ones((8,))
     float(triv(small))
     lat = min(time_of(lambda: float(triv(small))) for _ in range(3))
-    print(f"tunnel readback latency: {lat * 1e3:.1f}ms", file=sys.stderr)
+    _log(f"tunnel readback latency: {lat * 1e3:.1f}ms")
 
     medians = {}
     for name, (a1, a2) in scenes.items():
@@ -91,23 +257,25 @@ def main():
             one()
             times.append((time.perf_counter() - t0 - lat) * 1e3)
         medians[name] = float(np.median(times))
-        print(f"{name}: per-stitch ms {[round(t, 1) for t in times]}",
-              file=sys.stderr)
+        _log(f"{name}: per-stitch ms {[round(t, 1) for t in times]}")
 
     med = max(medians.values())  # worst scene is the headline
-    print(f"medians: {medians}", file=sys.stderr)
+    _log(f"medians: {medians}")
+
+    extra = {
+        "first_call_s": round(first_call_s, 1),
+        # input megapixels per second at the headline latency
+        "mp_per_s": round(2 * H * W / 1e6 / (med / 1e3), 1),
+    }
+    extras_bench(lat, extra)
+
     print(json.dumps({
         "metric": "stitch_2x1080p_latency",
         "value": round(med, 3),
         "unit": "ms",
         "vs_baseline": round(50.0 / med, 3),
+        "extra": extra,
     }))
-
-
-def time_of(fn):
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":
