@@ -203,6 +203,15 @@ def main():
     cfg = PipelineConfig()
     key = jax.random.key(0)
 
+    # Tunnel bootstrap: the FIRST device->host readback of a fresh process
+    # pays a large one-time axon session cost (measured 70-170 s for an
+    # 8-element sum — entirely environmental). Pay it on a trivial program
+    # first so first_call_s measures the framework's trace+compile+run, not
+    # the tunnel bootstrap.
+    t0 = time.perf_counter()
+    float(jax.jit(lambda x: x.sum())(jnp.ones((8,))))
+    _log(f"tunnel bootstrap (first readback): {time.perf_counter() - t0:.1f}s")
+
     t1, t2, _ = synthetic_pair(H, W, overlap=0.4, seed=0)
     r1, r2, H_true, _ = synthetic_rotation_pair(H, W, yaw_deg=10.0, seed=0)
     scenes = {

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -28,7 +29,10 @@ from imagestitch_tpu.matching.hamming import (
     hamming_distance_matrix, l2_distance_matrix)
 from imagestitch_tpu.types import ImageFeatures, MatchesInfo
 
-BIG = jnp.float32(3.0e38)
+# np scalar, NOT jnp: jnp.float32(...) at module scope creates an EAGER
+# device array at import; embedding it as a jit constant forces a
+# device->host readback during lowering (minutes on a tunneled TPU)
+BIG = np.float32(3.0e38)
 
 
 def _two_nn(D: jnp.ndarray, ratio_keep: float):

@@ -17,10 +17,13 @@ fully parallel.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-INF = jnp.float32(1e9)
+# np scalar, NOT jnp: a module-scope jnp scalar is an eager device array
+# whose lowering-time readback stalls compilation (see matching.matcher)
+INF = np.float32(1e9)
 
 
 def _shift_pad(x: jnp.ndarray, k: int, axis: int, fill) -> jnp.ndarray:

@@ -21,13 +21,16 @@ custom blender (图像融合.cpp:483-572) for blend.ramp.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from imagestitch_tpu.ops.image import sobel, rgb_to_gray
 
-BIG = jnp.float32(1e9)
+# np scalar, NOT jnp: a module-scope jnp scalar is an eager device array
+# whose lowering-time readback stalls compilation (see matching.matcher)
+BIG = np.float32(1e9)
 
 
 def seam_costs(img1: jnp.ndarray, img2: jnp.ndarray, both: jnp.ndarray,
