@@ -78,24 +78,24 @@ def _ic_angles(img: jnp.ndarray, xk: jnp.ndarray, yk: jnp.ndarray,
     Wp1 = W + 1
 
     h = half_patch
-    # same disc as ic_angle_offsets: umax(v) = round(sqrt(h^2 - v^2))
+    # same disc as ic_angle_offsets: umax(v) = round(sqrt(h^2 - v^2));
+    # all 2h+1 disc rows handled at once as (K, V) gathers (an unrolled
+    # per-row loop here used to dominate the detector's XLA compile time)
+    vs = np.arange(-h, h + 1, dtype=np.int32)
     umax = np.round(np.sqrt(np.maximum(
-        h * h - np.arange(-h, h + 1, dtype=np.float64) ** 2, 0.0))
-    ).astype(np.int32)
+        h * h - vs.astype(np.float64) ** 2, 0.0))).astype(np.int32)
+    vs_j = jnp.asarray(vs)[None, :]
+    rs_j = jnp.asarray(umax)[None, :]
 
     xkf = xk.astype(jnp.float32)
-    m10 = jnp.zeros(xk.shape, jnp.float32)
-    m01 = jnp.zeros(xk.shape, jnp.float32)
-    for i, v in enumerate(range(-h, h + 1)):
-        r = int(umax[i])
-        yv = jnp.clip(yk + v, 0, H - 1)
-        lo = jnp.clip(xk - r, 0, W)            # prefix index of col xk-r
-        hi = jnp.clip(xk + r + 1, 0, W)
-        base = yv * Wp1
-        s = Pf[base + hi] - Pf[base + lo]       # Σ I over the row segment
-        q = Qf[base + hi] - Qf[base + lo]       # Σ x·I
-        m10 = m10 + (q - xkf * s)               # Σ u·I, u = x - xk
-        m01 = m01 + float(v) * s
+    yv = jnp.clip(yk[:, None] + vs_j, 0, H - 1)   # (K, V)
+    lo = jnp.clip(xk[:, None] - rs_j, 0, W)       # prefix index of col xk-r
+    hi = jnp.clip(xk[:, None] + rs_j + 1, 0, W)
+    base = yv * Wp1
+    s = Pf[base + hi] - Pf[base + lo]             # Σ I over each row segment
+    q = Qf[base + hi] - Qf[base + lo]             # Σ x·I
+    m10 = jnp.sum(q - xkf[:, None] * s, axis=1)   # Σ u·I, u = x - xk
+    m01 = jnp.sum(vs_j.astype(jnp.float32) * s, axis=1)
     return jnp.arctan2(m01, m10)
 
 

@@ -29,8 +29,13 @@ def max_spanning_tree(num_images: int, pair_from: np.ndarray,
     weight (pairwise num_inliers), union-find merge, then the center is the
     node minimizing the maximum BFS hop distance to any leaf.
 
-    Returns (edges, center): edges is a list of (from, to) directed from the
-    center outward in BFS order.
+    Returns (edges, center, reachable): edges is a list of (from, to)
+    directed from the center outward in BFS order; `reachable` is a bool
+    (num_images,) mask of the LARGEST connected match component — the
+    OpenCV driver's leaveBiggestComponent semantics (images with no
+    confident path to the panorama must be excluded, not composed at
+    identity; an unmatched image would otherwise even win the min-max-depth
+    center rule with its trivial depth of 0 and hijack the layout).
     """
     order = np.argsort(-np.asarray(weights))
     parent = list(range(num_images))
@@ -52,6 +57,11 @@ def max_spanning_tree(num_images: int, pair_from: np.ndarray,
             adj[a].append(b)
             adj[b].append(a)
 
+    roots = np.asarray([find(i) for i in range(num_images)])
+    root_ids, counts = np.unique(roots, return_counts=True)
+    big_root = root_ids[np.argmax(counts)]
+    reachable = roots == big_root
+
     def bfs_depths(start):
         depth = np.full(num_images, -1, np.int32)
         depth[start] = 0
@@ -64,14 +74,14 @@ def max_spanning_tree(num_images: int, pair_from: np.ndarray,
                     q.append(v)
         return depth
 
-    # center = argmin over nodes of max depth (ref :184-212 uses the
-    # "min of max leaf distance" rule)
-    best_center, best_max = 0, None
-    for c in range(num_images):
-        d = bfs_depths(c)
-        mx = d.max()
+    # center = argmin over the big component's nodes of max depth within it
+    # (ref :184-212 uses the "min of max leaf distance" rule)
+    best_center, best_max = int(np.nonzero(reachable)[0][0]), None
+    for c in np.nonzero(reachable)[0]:
+        d = bfs_depths(int(c))
+        mx = d[reachable].max()
         if best_max is None or mx < best_max:
-            best_center, best_max = c, mx
+            best_center, best_max = int(c), mx
 
     # BFS edge order from the center
     edges = []
@@ -84,7 +94,7 @@ def max_spanning_tree(num_images: int, pair_from: np.ndarray,
                 seen.add(v)
                 edges.append((u, v))
                 q.append(v)
-    return edges, best_center
+    return edges, best_center, reachable
 
 
 def _K_of(focal, aspect, ppx, ppy):
@@ -106,10 +116,12 @@ def estimate_cameras_host(Hs: np.ndarray, pair_from: np.ndarray,
     in CENTER-NORMALIZED coordinates (the matcher subtracts image centers,
     ref 特征点匹配.cpp:170-178). Returns CameraParams with principal points
     re-centered to pixel coordinates (ref :266-282); with
-    `return_tree=True`, returns (CameraParams, edges) where edges are the
-    max-spanning-tree (u, v) pairs in BFS order from the center image — the
-    actual adjacency topology, which the Stitcher uses to order pairwise
-    seam resolution.
+    `return_tree=True`, returns (CameraParams, edges, reachable) where
+    edges are the max-spanning-tree (u, v) pairs in BFS order from the
+    center image — the actual adjacency topology, which the Stitcher uses
+    to order pairwise seam resolution — and `reachable` marks the largest
+    match component (leaveBiggestComponent semantics): images outside it
+    keep R = identity and must be excluded from compositing by the caller.
     """
     Hs = np.asarray(Hs, np.float64)
     num_images = int(img_sizes.shape[0])
@@ -118,7 +130,7 @@ def estimate_cameras_host(Hs: np.ndarray, pair_from: np.ndarray,
                                  jnp.asarray(img_sizes), num_images))
 
     valid_idx = np.nonzero(np.asarray(pair_valid))[0]
-    edges, center = max_spanning_tree(
+    edges, center, reachable = max_spanning_tree(
         num_images,
         np.asarray(pair_from)[valid_idx],
         np.asarray(pair_to)[valid_idx],
@@ -149,7 +161,7 @@ def estimate_cameras_host(Hs: np.ndarray, pair_from: np.ndarray,
         t=jnp.zeros((num_images, 3), jnp.float32),
     )
     if return_tree:
-        return cams, edges
+        return cams, edges, reachable
     return cams
 
 

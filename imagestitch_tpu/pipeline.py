@@ -545,6 +545,19 @@ class _StageDumper:
 # general N-image driver (host-orchestrated, jitted stages)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _batched_detect(cfg):
+    """Jitted batched detector shared across Stitcher instances (configs are
+    hashable frozen dataclasses, so the executable cache is keyed on the
+    detector config + shapes, not on the Stitcher object)."""
+    return jax.jit(jax.vmap(lambda g: detect_features(g, cfg)))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_match_all(cfg, rcfg):
+    return jax.jit(functools.partial(match_all, cfg=cfg, rcfg=rcfg))
+
+
 class Stitcher:
     """N-image panorama stitcher with per-stage timers.
 
@@ -558,10 +571,8 @@ class Stitcher:
 
     def __init__(self, config: PipelineConfig | None = None):
         self.cfg = config or PipelineConfig()
-        self._detect = jax.jit(functools.partial(
-            detect_features, cfg=self.cfg.detector))
-        self._match_all = jax.jit(functools.partial(
-            match_all, cfg=self.cfg.matcher, rcfg=self.cfg.ransac))
+        self._detect = _batched_detect(self.cfg.detector)
+        self._match_all = _jitted_match_all(self.cfg.matcher, self.cfg.ransac)
 
     def stitch(self, images, seed: int = 0, dump_stages: str | None = None):
         """images: list/array of (H, W, 3) uint8 RGB (same size).
@@ -592,7 +603,7 @@ class Stitcher:
             if ws < 1.0:
                 grays = jax.vmap(
                     lambda g: resize_linear_mxu(g, (Hw, Ww)))(grays)
-            feats = jax.vmap(self._detect)(grays)
+            feats = self._detect(grays)
             jax.block_until_ready(feats.xy)
         dump("features", xy=feats.xy, valid=feats.valid,
              response=feats.response, level=feats.level)
@@ -607,7 +618,7 @@ class Stitcher:
         with timer.stage("cameras"):
             conf = np.asarray(ms.confidence)
             keep = conf > cfg.matcher.conf_thresh
-            cams, tree_edges = estimate_cameras_host(
+            cams, tree_edges, reachable = estimate_cameras_host(
                 np.asarray(ms.H), np.asarray(ms.src_idx),
                 np.asarray(ms.dst_idx), np.asarray(ms.num_inliers),
                 np.asarray(ms.h_valid) & keep,
@@ -636,6 +647,11 @@ class Stitcher:
             canvas_hw = _pano_canvas_shape((H, W), n, cfg)
             warped, masks, corner, overflow, _ = _warp_all_shared(
                 imgs, cams, scale, canvas_hw, cfg)
+            # leaveBiggestComponent semantics: images with no confident
+            # path into the panorama's match component would compose at
+            # identity on top of the center image — exclude them instead
+            # (their masks drive exposure, seams, and the blend)
+            masks = masks & jnp.asarray(reachable)[:, None, None]
             jax.block_until_ready(warped)
 
         with timer.stage("exposure"):
@@ -670,6 +686,7 @@ class Stitcher:
             "focal": float(np.asarray(cams.focal[0])),
             "pair_confidences": conf.tolist(),
             "canvas_overflow": bool(np.asarray(overflow)),
+            "reachable": np.asarray(reachable).tolist(),
         }
         metrics.update(timer.summary())
         return np.clip(pano, 0, 255).astype(np.uint8), metrics

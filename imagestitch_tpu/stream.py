@@ -20,20 +20,17 @@ also the portion that batches across a video's frames via parallel.batch.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from imagestitch_tpu.config import PipelineConfig
 from imagestitch_tpu.pipeline import (
-    Stitcher, _apply_exposure, _blend_resolved, _crop_valid,
-    _host_seam_masks, _needs_host_seam, _pano_canvas_shape, _seam_and_blend,
-    _warp_all_shared, _work_scale, _upscale_cameras, blend_resolved)
+    Stitcher, _apply_exposure, _batched_detect, _blend_resolved, _crop_valid,
+    _host_seam_masks, _jitted_match_all, _needs_host_seam,
+    _pano_canvas_shape, _seam_and_blend, _warp_all_shared, _work_scale,
+    _upscale_cameras, blend_resolved)
 from imagestitch_tpu.ops.image import rgb_to_gray
-from imagestitch_tpu.features import detect as detect_features
-from imagestitch_tpu.matching.matcher import match_all
 from imagestitch_tpu.geometry.rotation import estimate_cameras_host
 from imagestitch_tpu.geometry.bundle import bundle_adjust_ray, wave_correct
 from imagestitch_tpu.seam.dp import dp_seam_pair
@@ -50,6 +47,9 @@ def _compose_impl(imgs, cams, scale, seam_masks, cfg, canvas_hw):
     return pano, valid, corner
 
 
+_compose_jit = jax.jit(_compose_impl, static_argnames=("cfg", "canvas_hw"))
+
+
 class StreamStitcher:
     """Fixed-rig video stitcher: `calibrate` once, `compose` per frame."""
 
@@ -59,8 +59,7 @@ class StreamStitcher:
         self._scale = None
         self._seam_masks = None
         self._canvas_hw = None
-        self._compose = jax.jit(
-            _compose_impl, static_argnames=("cfg", "canvas_hw"))
+        self._compose = _compose_jit
 
     def calibrate(self, images, seed: int = 0):
         """Full registration on one frame set; caches cameras + seam masks.
@@ -76,15 +75,16 @@ class StreamStitcher:
         if ws < 1.0:
             from imagestitch_tpu.ops.pyramid import resize_linear_mxu
             grays = jax.vmap(lambda g: resize_linear_mxu(g, (Hw, Ww)))(grays)
-        feats = jax.vmap(functools.partial(
-            detect_features, cfg=cfg.detector))(grays)
-        ms = match_all(feats, jax.random.key(seed), cfg.matcher, cfg.ransac)
+        feats = _batched_detect(cfg.detector)(grays)
+        ms = _jitted_match_all(cfg.matcher, cfg.ransac)(
+            feats, jax.random.key(seed))
         conf = np.asarray(ms.confidence)
         keep = conf > cfg.matcher.conf_thresh
-        cams = estimate_cameras_host(
+        cams, _, reachable = estimate_cameras_host(
             np.asarray(ms.H), np.asarray(ms.src_idx), np.asarray(ms.dst_idx),
             np.asarray(ms.num_inliers), np.asarray(ms.h_valid) & keep,
-            np.asarray([[Hw, Ww]] * n))
+            np.asarray([[Hw, Ww]] * n), return_tree=True)
+        self._reachable = jnp.asarray(reachable)
         if cfg.camera.ba_refine:
             src_pts = jax.vmap(lambda i, p: feats.xy[i][p[:, 0]])(
                 ms.src_idx, ms.pairs)
@@ -105,6 +105,10 @@ class StreamStitcher:
 
         warped, masks, corner, _, _ = _warp_all_shared(
             imgs, self._cams, self._scale, self._canvas_hw, cfg)
+        # exclude images outside the largest match component (they sit at
+        # identity R); the frozen seam masks then exclude them from every
+        # subsequent compose() as well
+        masks = masks & self._reachable[:, None, None]
         warped = _apply_exposure(warped, masks, cfg)
         if _needs_host_seam(cfg):
             sm = jnp.asarray(_host_seam_masks(

@@ -24,8 +24,13 @@ resource.setrlimit(resource.RLIMIT_STACK,
                    (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# the suite is compile-dominated (one monolithic stitch program is ~40 s of
+# LLVM at default opt on this CPU, ~21 s at O0, and most programs run only a
+# handful of times); O0 halves suite compile time for ~1 s/run slowdown
+if "xla_backend_optimization_level" not in flags:
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
@@ -47,14 +52,16 @@ def rng():
 def _bound_live_executables():
     """Free compiled executables between test modules.
 
-    Long single-process runs of the whole suite accumulate hundreds of
-    large XLA:CPU executables; past a threshold the NEXT compilation dies
-    with SIGSEGV inside backend_compile_and_load (jaxlib CPU backend bug —
-    reproducible at the same test with or without the axon plugin, stack
-    rlimit raised, and the persistent cache disabled; each module passes in
-    isolation). Clearing JAX's jit caches after every module keeps the live
-    executable count bounded and the suite stable, at the cost of
-    recompiling shared programs across module boundaries.
-    """
+    Long single-process runs accumulate XLA:CPU executables; past a
+    threshold the NEXT compilation dies with SIGSEGV inside
+    backend_compile_and_load (jaxlib CPU backend bug — reproducible with or
+    without the axon plugin, stack rlimit raised, persistent cache
+    disabled, AND at --xla_backend_optimization_level=0, so the trigger is
+    live-executable count/footprint, not LLVM pass recursion; each module
+    passes in isolation). Clearing JAX's jit caches after every module
+    keeps the live executable count bounded and the suite stable, at the
+    cost of recompiling shared programs across module boundaries — the
+    per-module recompiles are cheap at O0, and tests are structured to
+    share executables WITHIN a module (see test_pipeline's docstring)."""
     yield
     jax.clear_caches()

@@ -173,11 +173,27 @@ def test_max_spanning_tree_chain():
     pf = np.array([0, 1, 2, 0])
     pt = np.array([1, 2, 3, 3])
     w = np.array([100, 90, 80, 1])
-    edges, center = max_spanning_tree(4, pf, pt, w)
+    edges, center, reachable = max_spanning_tree(4, pf, pt, w)
     assert len(edges) == 3
     assert center in (1, 2)
     reached = {center} | {v for _, v in edges}
     assert reached == {0, 1, 2, 3}
+    assert reachable.all()
+
+
+def test_max_spanning_tree_disconnected_component():
+    """An image with no confident pair must be OUTSIDE the reachable set
+    and must not hijack the center (its BFS max-depth is trivially 0 —
+    leaveBiggestComponent semantics, like the OpenCV driver)."""
+    # 4 images; image 2 has no valid pair at all
+    pf = np.array([0, 1])
+    pt = np.array([1, 3])
+    w = np.array([100, 90])
+    edges, center, reachable = max_spanning_tree(4, pf, pt, w)
+    assert list(reachable) == [True, True, False, True]
+    assert center in (0, 1, 3)
+    reached = {center} | {v for _, v in edges}
+    assert reached == {0, 1, 3}
 
 
 def test_estimate_cameras_chain_rotation():

@@ -63,11 +63,14 @@ def test_stitcher_graphcut_path():
         PipelineConfig, DetectorConfig, MatcherConfig, RansacConfig,
         SeamConfig, WarpConfig, CameraConfig)
     from imagestitch_tpu.utils.io import synthetic_sequence
-    views, shift = synthetic_sequence(3, 160, 224, overlap=0.5, seed=50)
+    # same stage configs / shapes as test_pipeline's ST_CFG (shares the
+    # batched detect + match_all executables when caches survive the module
+    # boundary; harmless otherwise)
+    views, shift = synthetic_sequence(4, 160, 224, overlap=0.5, seed=50)
     cfg = PipelineConfig(
-        detector=DetectorConfig(nfeatures=128, max_keypoints=384),
-        matcher=MatcherConfig(max_matches=192),
-        ransac=RansacConfig(num_hypotheses=256),
+        detector=DetectorConfig(nfeatures=256, max_keypoints=768),
+        matcher=MatcherConfig(max_matches=256),
+        ransac=RansacConfig(num_hypotheses=512),
         camera=CameraConfig(ba_refine=False),
         warp=WarpConfig(kind="plane", canvas_scale_w=1.8, canvas_scale_h=1.4),
         seam=SeamConfig(kind="graphcut"))

@@ -13,6 +13,11 @@ from imagestitch_tpu.matching import (
 from imagestitch_tpu.types import ImageFeatures
 from imagestitch_tpu.utils.io import synthetic_pair
 
+# shared jitted entries (one executable cache for the whole module)
+det = jax.jit(detect_and_compute, static_argnames=("cfg",))
+jmatch_pair = jax.jit(match_pair, static_argnames=("cfg", "rcfg"))
+jmatch_all = jax.jit(match_all, static_argnames=("cfg", "rcfg"))
+
 
 def test_hamming_matrix_matches_numpy():
     rng = np.random.default_rng(0)
@@ -85,13 +90,12 @@ def test_match_pair_end_to_end_translation():
     to_gray = lambda im: jnp.asarray(im, jnp.float32) @ jnp.asarray(
         [0.299, 0.587, 0.114], jnp.float32)
     dcfg = DetectorConfig(nfeatures=256, max_keypoints=768)
-    det = jax.jit(lambda g: detect_and_compute(g, dcfg))
-    f1 = det(to_gray(img1))
-    f2 = det(to_gray(img2))
+    f1 = det(to_gray(img1), cfg=dcfg)
+    f2 = det(to_gray(img2), cfg=dcfg)
 
-    mi = match_pair(f1, f2, jax.random.key(0),
-                    cfg=MatcherConfig(max_matches=256),
-                    rcfg=RansacConfig(num_hypotheses=512))
+    mi = jmatch_pair(f1, f2, jax.random.key(0),
+                     cfg=MatcherConfig(max_matches=256),
+                     rcfg=RansacConfig(num_hypotheses=512))
     assert bool(mi.h_valid)
     assert int(mi.num_inliers) >= 15
     H = np.asarray(mi.H)
@@ -109,13 +113,12 @@ def test_match_all_pair_enumeration_and_symmetry():
     to_gray = lambda im: jnp.asarray(im, jnp.float32) @ jnp.asarray(
         [0.299, 0.587, 0.114], jnp.float32)
     dcfg = DetectorConfig(nfeatures=128, max_keypoints=384)
-    det = jax.jit(lambda g: detect_and_compute(g, dcfg))
-    f1 = det(to_gray(img1))
-    f2 = det(to_gray(img2))
+    f1 = det(to_gray(img1), cfg=dcfg)
+    f2 = det(to_gray(img2), cfg=dcfg)
     batched = jax.tree.map(lambda a, b: jnp.stack([a, b]), f1, f2)
-    ms = match_all(batched, jax.random.key(1),
-                   MatcherConfig(max_matches=192),
-                   RansacConfig(num_hypotheses=256))
+    ms = jmatch_all(batched, jax.random.key(1),
+                    cfg=MatcherConfig(max_matches=192),
+                    rcfg=RansacConfig(num_hypotheses=256))
     assert ms.H.shape == (1, 3, 3)  # one i<j pair
     assert int(ms.src_idx[0]) == 0 and int(ms.dst_idx[0]) == 1
     assert bool(ms.h_valid[0])
@@ -124,29 +127,21 @@ def test_match_all_pair_enumeration_and_symmetry():
 def test_inlier_refit_second_pass():
     """The literal second findHomography pass on inliers (ref 特征点匹配.cpp
     :201-229): gated by num_matches_thresh2, replaces H only."""
-    import dataclasses
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-    from imagestitch_tpu.config import (DetectorConfig, MatcherConfig,
-                                        RansacConfig)
-    from imagestitch_tpu.features import detect
-    from imagestitch_tpu.matching.matcher import match_pair
     from imagestitch_tpu.ops.image import rgb_to_gray
-    from imagestitch_tpu.utils.io import synthetic_pair
 
     i1, i2, shift = synthetic_pair(192, 320, overlap=0.5, seed=4)
     dcfg = DetectorConfig(nfeatures=256, max_keypoints=512)
-    f1 = detect(rgb_to_gray(jnp.asarray(i1, jnp.float32)), dcfg)
-    f2 = detect(rgb_to_gray(jnp.asarray(i2, jnp.float32)), dcfg)
+    f1 = det(rgb_to_gray(jnp.asarray(i1, jnp.float32)), cfg=dcfg)
+    f2 = det(rgb_to_gray(jnp.asarray(i2, jnp.float32)), cfg=dcfg)
     key = jax.random.key(0)
 
-    on = match_pair(f1, f2, key, 0, 1,
-                    MatcherConfig(max_matches=256), RansacConfig())
-    off = match_pair(f1, f2, key, 0, 1,
-                     MatcherConfig(max_matches=256,
-                                   num_matches_thresh2=10 ** 6),
-                     RansacConfig())
+    rcfg = RansacConfig(num_hypotheses=512)
+    on = jmatch_pair(f1, f2, key,
+                     cfg=MatcherConfig(max_matches=256), rcfg=rcfg)
+    off = jmatch_pair(f1, f2, key,
+                      cfg=MatcherConfig(max_matches=256,
+                                        num_matches_thresh2=10 ** 6),
+                      rcfg=rcfg)
     assert bool(on.h_valid) and bool(off.h_valid)
     # gating off the refit leaves the first-pass H; both are sub-pixel on
     # this pure-translation scene, and the refit keeps that accuracy

@@ -13,6 +13,10 @@ from imagestitch_tpu.utils.io import synthetic_pair
 
 CFG_SMALL = DetectorConfig(nfeatures=128, max_keypoints=512)
 
+# one jitted detector shared by every test in the module (per-test
+# jax.jit(lambda ...) wrappers each carried a private executable cache)
+det = jax.jit(detect_and_compute, static_argnames=("cfg",))
+
 
 def test_fast_detects_synthetic_corner():
     # bright 10x10 square on dark bg: its corners are FAST corners
@@ -68,7 +72,7 @@ def test_detect_and_compute_shapes_and_validity():
     img1, _, _ = synthetic_pair(240, 320, seed=3)
     gray = jnp.asarray(img1, jnp.float32) @ jnp.asarray(
         [0.299, 0.587, 0.114], jnp.float32)
-    feats = jax.jit(lambda g: detect_and_compute(g, CFG_SMALL))(gray)
+    feats = det(gray, cfg=CFG_SMALL)
     K = feats.capacity
     assert K == 512
     assert feats.descriptors.shape == (K, 256)
@@ -91,9 +95,8 @@ def test_detect_translation_covariance():
     img1, img2, shift = synthetic_pair(240, 320, overlap=0.5, seed=5)
     to_gray = lambda im: jnp.asarray(im, jnp.float32) @ jnp.asarray(
         [0.299, 0.587, 0.114], jnp.float32)
-    fn = jax.jit(lambda g: detect_and_compute(g, CFG_SMALL))
-    f1 = fn(to_gray(img1))
-    f2 = fn(to_gray(img2))
+    f1 = det(to_gray(img1), cfg=CFG_SMALL)
+    f2 = det(to_gray(img2), cfg=CFG_SMALL)
     v1 = np.asarray(f1.valid)
     v2 = np.asarray(f2.valid)
     xy1 = np.asarray(f1.xy)[v1]
@@ -114,9 +117,8 @@ def test_descriptor_stability_under_translation():
     img1, img2, shift = synthetic_pair(240, 320, overlap=0.5, seed=6)
     to_gray = lambda im: jnp.asarray(im, jnp.float32) @ jnp.asarray(
         [0.299, 0.587, 0.114], jnp.float32)
-    fn = jax.jit(lambda g: detect_and_compute(g, CFG_SMALL))
-    f1 = fn(to_gray(img1))
-    f2 = fn(to_gray(img2))
+    f1 = det(to_gray(img1), cfg=CFG_SMALL)
+    f2 = det(to_gray(img2), cfg=CFG_SMALL)
     v1, v2 = np.asarray(f1.valid), np.asarray(f2.valid)
     xy1, xy2 = np.asarray(f1.xy), np.asarray(f2.xy)
     d1, d2 = np.asarray(f1.descriptors), np.asarray(f2.descriptors)
@@ -193,11 +195,13 @@ def test_wta_k_end_to_end_matching():
 
     i1, i2, shift = synthetic_pair(192, 320, overlap=0.5, seed=2)
     cfg = DetectorConfig(wta_k=3, nfeatures=256, max_keypoints=512)
-    f1 = detect(rgb_to_gray(jnp.asarray(i1, jnp.float32)), cfg)
-    f2 = detect(rgb_to_gray(jnp.asarray(i2, jnp.float32)), cfg)
+    jdet = jax.jit(detect, static_argnames=("cfg",))
+    f1 = jdet(rgb_to_gray(jnp.asarray(i1, jnp.float32)), cfg=cfg)
+    f2 = jdet(rgb_to_gray(jnp.asarray(i2, jnp.float32)), cfg=cfg)
     assert f1.descriptors.shape[1] == 384
-    mi = match_pair(f1, f2, jax.random.key(0), 0, 1,
-                    MatcherConfig(max_matches=256), RansacConfig())
+    mcfg, rcfg = MatcherConfig(max_matches=256), RansacConfig()
+    mi = jax.jit(lambda a, b, k: match_pair(a, b, k, 0, 1, mcfg, rcfg))(
+        f1, f2, jax.random.key(0))
     assert bool(mi.h_valid)
     H = np.asarray(mi.H)
     # recovered homography is the expected translation
@@ -284,7 +288,7 @@ class TestOrbVsOpenCV:
         cxy = np.array([k.pt for k in kps], np.float32)
 
         cfg = DetectorConfig()
-        ours = detect_and_compute(jnp.asarray(grayf), cfg)
+        ours = det(jnp.asarray(grayf), cfg=cfg)
         oxy = np.asarray(ours.xy)[np.asarray(ours.valid)]
 
         d = np.linalg.norm(cxy[:, None, :] - oxy[None, :, :], axis=-1)

@@ -36,8 +36,10 @@ def test_eight_devices_available():
 
 
 def test_batched_matches_single():
-    pairs = _pairs(2)
-    keys = jax.random.split(jax.random.key(0), 2)
+    # batch of 4 so the batched executable is shared with
+    # test_sharded_2d_mesh_matches_unsharded (same shapes, same config)
+    pairs = _pairs(4)
+    keys = jax.random.split(jax.random.key(0), 4)
     panos, valids, corners, metrics = stitch_pairs_batched(pairs, keys, TINY)
     from imagestitch_tpu.pipeline import stitch_pair_impl
     p0, v0, c0, m0 = jax.jit(
