@@ -46,24 +46,35 @@ from imagestitch_tpu.ops.image import gaussian_blur, resize
 from imagestitch_tpu.types import ImageFeatures
 
 
+def _octave_levels(base, first_octave: bool, S: int, sigma0: float):
+    """One octave's S+3 chained Gaussian blur levels (level 0 of octave 0
+    carries sigma0)."""
+    img = gaussian_blur(base, 7, sigma0) if first_octave else base
+    levels = [img]
+    for s in range(1, S + 3):
+        sig_prev = sigma0 * (2.0 ** ((s - 1) / S))
+        sig_cur = sigma0 * (2.0 ** (s / S))
+        dsig = float(np.sqrt(max(sig_cur ** 2 - sig_prev ** 2, 1e-6)))
+        k = max(3, int(2 * round(3 * dsig) + 1))
+        levels.append(gaussian_blur(levels[-1], min(k, 15), dsig))
+    return levels
+
+
+def _octave_shapes(H: int, W: int, num_octaves: int):
+    """Static per-octave (H, W) list, replicating _scale_space's stop rule
+    (next octave only while min(h, w)//2 >= 16)."""
+    shapes = [(H, W)]
+    while len(shapes) < num_octaves and min(shapes[-1]) // 2 >= 16:
+        shapes.append((shapes[-1][0] // 2, shapes[-1][1] // 2))
+    return shapes
+
+
 def _scale_space(gray, num_octaves: int, S: int, sigma0: float):
     """List of octaves; each octave is a list of S+3 blurred images."""
     octaves = []
     base = gray
     for o in range(num_octaves):
-        levels = []
-        img = base
-        # level 0 of the octave carries sigma0
-        if o == 0:
-            img = gaussian_blur(img, 7, sigma0)
-        levels.append(img)
-        for s in range(1, S + 3):
-            sig_prev = sigma0 * (2.0 ** ((s - 1) / S))
-            sig_cur = sigma0 * (2.0 ** (s / S))
-            dsig = float(np.sqrt(max(sig_cur ** 2 - sig_prev ** 2, 1e-6)))
-            k = max(3, int(2 * round(3 * dsig) + 1))
-            img = gaussian_blur(img, min(k, 15), dsig)
-            levels.append(img)
+        levels = _octave_levels(base, o == 0, S, sigma0)
         octaves.append(levels)
         # next octave: downsample the level with sigma 2*sigma0
         h, w = levels[S].shape
@@ -71,6 +82,35 @@ def _scale_space(gray, num_octaves: int, S: int, sigma0: float):
             break
         base = resize(levels[S], (h // 2, w // 2), "linear")
     return octaves
+
+
+def _octave_maps(base, first_octave: bool, S: int, sigma0: float,
+                 contrast_thresh: float, use_pallas: bool):
+    """Fused octave maps: (dog (S+2,H,W), interior extrema scores (S,H,W),
+    grad mags (S+1,H,W), grad angles, gS). On TPU this is ONE Pallas band
+    pass per image (ops.pallas_sift); the XLA composition below is the
+    reference implementation and serves CPU/tests."""
+    H, W = base.shape
+    if use_pallas:
+        from imagestitch_tpu.ops.pallas_sift import (octave_halo,
+                                                     sift_octave_maps)
+        if min(H, W) >= 2 * octave_halo(S, sigma0, first_octave):
+            dog, score, mags, angs, gS = sift_octave_maps(
+                base, first_octave, S, sigma0, contrast_thresh)
+            # 8-px border mask (the XLA path applies it inside
+            # _dog_extrema_scores)
+            my = (jnp.arange(H) >= 8) & (jnp.arange(H) < H - 8)
+            mx = (jnp.arange(W) >= 8) & (jnp.arange(W) < W - 8)
+            score = score * my[None, :, None] * mx[None, None, :]
+            return dog, score, mags, angs, gS
+    levels = _octave_levels(base, first_octave, S, sigma0)
+    dog = jnp.stack([levels[i + 1] - levels[i]
+                     for i in range(len(levels) - 1)])
+    score = _dog_extrema_scores(dog, contrast_thresh)
+    # per-scale gradient stacks over the octave's interior levels: DoG
+    # layer l peaks at blur level l (σ_rel = σ0·2^(l/S))
+    mags, angs = zip(*[_grad(levels[i]) for i in range(1, S + 2)])
+    return dog, score[1:S + 1], jnp.stack(mags), jnp.stack(angs), levels[S]
 
 
 def _dog_extrema_scores(dog: jnp.ndarray, contrast_thresh: float,
@@ -312,21 +352,36 @@ def _descriptors(mags_flat, angs_flat, S, H, W, si, yk, xk, theta, sigma_rel,
     gauss = jnp.exp(-(uf ** 2 + vf ** 2) / (2.0 * (0.5 * cell * width) ** 2))
     base_w = m * gauss                                    # (K, P)
 
-    desc = jnp.zeros((yk.shape[0], width * width * nbins), jnp.float32)
+    # The trilinear scatter desc[k, (cy·w+cx)·nb+cb] += w·wy·wx·wa
+    # factorizes EXACTLY over (cell, bin): the 128-bin index is
+    # cell·nbins+bin and the weight is a product of a spatial part and an
+    # angular part, so accumulating the spatial bilinear weights into a
+    # dense (K, P, 16) cell map and the angular pair into a (K, P, 8) bin
+    # map turns the former 8 x (K, P, 128)-one-hot einsums (the SIFT hot
+    # spot: ~600 MB of materialized one-hots per call) into ONE batched
+    # (16, P) x (P, 8) MXU contraction per keypoint.
+    ncell = width * width
+    K = yk.shape[0]
+    # spatial weights depend only on the (un-rotated) sample grid -> (1, P,
+    # 16), built once and broadcast against the per-keypoint magnitudes
+    P = us.shape[0]
+    wcell = jnp.zeros((1, P, ncell), jnp.float32)
     for dy_ in (0, 1):
         wy = jnp.where(dy_ == 0, 1.0 - fy, fy)
         cy = jnp.clip(gy0 + dy_, 0, width - 1).astype(jnp.int32)
         for dx_ in (0, 1):
             wx = jnp.where(dx_ == 0, 1.0 - fx, fx)
             cx = jnp.clip(gx0 + dx_, 0, width - 1).astype(jnp.int32)
-            for da_ in (0, 1):
-                wa = jnp.where(da_ == 0, 1.0 - fa, fa)
-                cb = (ab0.astype(jnp.int32) + da_) % nbins
-                idx = (cy * width + cx) * nbins + cb      # (K, P)
-                wgt = base_w * wy * wx * wa
-                onehot = jax.nn.one_hot(idx, width * width * nbins,
-                                        dtype=jnp.float32)
-                desc = desc + jnp.einsum("kp,kpd->kd", wgt, onehot)
+            oh = jax.nn.one_hot(cy * width + cx, ncell, dtype=jnp.float32)
+            wcell = wcell + (wy * wx)[..., None] * oh     # (1, P, 16)
+    wbin = jnp.zeros((K, P, nbins), jnp.float32)
+    for da_ in (0, 1):
+        wa = jnp.where(da_ == 0, 1.0 - fa, fa)
+        cb = (ab0.astype(jnp.int32) + da_) % nbins
+        wbin = wbin + wa[..., None] * jax.nn.one_hot(cb, nbins,
+                                                     dtype=jnp.float32)
+    desc = jnp.einsum("kpc,kpb->kcb", wcell * base_w[..., None], wbin)
+    desc = desc.reshape(K, ncell * nbins)
 
     # normalize -> clip 0.2 -> renormalize (SIFT illumination invariance)
     n = jnp.linalg.norm(desc, axis=1, keepdims=True)
@@ -356,22 +411,24 @@ def detect_and_compute_sift(gray: jnp.ndarray,
     S = scales_per_octave
     # OpenCV: |D̂| * S < thresh on 0..1 images  <=>  |D̂| < thresh*255/S here
     contrast_thresh = contrast_thresh * 255.0 / S
-    octaves = _scale_space(gray, num_octaves, S, sigma0)
+    shapes = _octave_shapes(H, W, num_octaves)
+    use_pallas = jax.default_backend() == "tpu"
 
     # each extremum can spawn 2 oriented keypoints
-    quota = max(cfg.max_keypoints // (2 * max(len(octaves), 1)), 16)
+    quota = max(cfg.max_keypoints // (2 * len(shapes)), 16)
     xs, ys, resp, angs, sizes, levels, valids, descs = \
         [], [], [], [], [], [], [], []
 
-    for o, levels_o in enumerate(octaves):
-        dog = jnp.stack([levels_o[i + 1] - levels_o[i]
-                         for i in range(len(levels_o) - 1)])
-        score = _dog_extrema_scores(dog, contrast_thresh)
-        Lh, Hh, Wh = score.shape
-        flat = score.reshape(-1)
+    base = gray
+    for o, (Hh, Wh) in enumerate(shapes):
+        dog, score_int, mag_stack, ang_stack, gS = _octave_maps(
+            base, o == 0, S, sigma0, contrast_thresh, use_pallas)
+        if o + 1 < len(shapes):
+            base = resize(gS, shapes[o + 1], "linear")
+        flat = score_int.reshape(-1)
         top_s, top_i = jax.lax.top_k(flat, quota)
         v = top_s > 0
-        li = top_i // (Hh * Wh)
+        li = top_i // (Hh * Wh) + 1      # interior layer -> DoG layer index
         rem = top_i % (Hh * Wh)
         yk = rem // Wh
         xk = rem % Wh
@@ -383,11 +440,8 @@ def detect_and_compute_sift(gray: jnp.ndarray,
         yk_i = jnp.clip(jnp.round(yf).astype(jnp.int32), 0, Hh - 1)
         xk_i = jnp.clip(jnp.round(xf).astype(jnp.int32), 0, Wh - 1)
 
-        # per-scale gradient stacks over the octave's interior levels:
-        # DoG layer l peaks at blur level l (σ_rel = σ0·2^(l/S))
-        mags, angms = zip(*[_grad(levels_o[i]) for i in range(1, S + 2)])
-        mags_flat = jnp.stack(mags).reshape(-1)
-        angs_flat = jnp.stack(angms).reshape(-1)
+        mags_flat = mag_stack.reshape(-1)
+        angs_flat = ang_stack.reshape(-1)
         si = jnp.clip(li_r - 1, 0, S)                    # stack index
         lf = li_r.astype(jnp.float32) + ol               # interpolated scale
         sigma_rel = sigma0 * (2.0 ** (jnp.clip(lf, 0.0, S + 1.0) / S))

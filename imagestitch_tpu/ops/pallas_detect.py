@@ -162,7 +162,7 @@ def detect_maps(img: jnp.ndarray, threshold: float, block_size: int = 7,
         return tuple(pl.pallas_call(
             kern,
             grid=(B, Hp // BAND_H),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[
                 pl.BlockSpec((1, BAND_H, Wp), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM)

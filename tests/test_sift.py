@@ -4,6 +4,7 @@ translation, end-to-end stitch with kind="sift"."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from imagestitch_tpu.config import (
     DetectorConfig, MatcherConfig, RansacConfig, PipelineConfig, CameraConfig,
@@ -14,6 +15,11 @@ from imagestitch_tpu.matching import match_pair, l2_distance_matrix
 from imagestitch_tpu.utils.io import synthetic_pair
 
 SIFT_CFG = DetectorConfig(kind="sift", max_keypoints=512, sift_octaves=3)
+
+# ONE jitted detector entry shared by every test in this module (per-test
+# `jax.jit(lambda ...)` wrappers each carried their own executable cache,
+# recompiling the SIFT program for identical shapes)
+det = jax.jit(detect, static_argnames=("cfg",))
 
 
 def test_l2_distance_matches_numpy():
@@ -39,7 +45,7 @@ def test_sift_detects_and_describes():
     img1, _, _ = synthetic_pair(192, 256, seed=40)
     gray = jnp.asarray(img1, jnp.float32) @ jnp.asarray(
         [0.299, 0.587, 0.114], jnp.float32)
-    f = jax.jit(lambda g: detect(g, SIFT_CFG))(gray)
+    f = det(gray, cfg=SIFT_CFG)
     assert f.descriptors.shape == (512, 128)
     assert f.descriptors.dtype == jnp.float32
     nv = int(f.num_valid())
@@ -54,9 +60,8 @@ def test_sift_match_translation_pair():
     img1, img2, shift = synthetic_pair(192, 256, overlap=0.5, seed=41)
     to_gray = lambda im: jnp.asarray(im, jnp.float32) @ jnp.asarray(
         [0.299, 0.587, 0.114], jnp.float32)
-    det = jax.jit(lambda g: detect(g, SIFT_CFG))
-    f1 = det(to_gray(img1))
-    f2 = det(to_gray(img2))
+    f1 = det(to_gray(img1), cfg=SIFT_CFG)
+    f2 = det(to_gray(img2), cfg=SIFT_CFG)
     mi = match_pair(f1, f2, jax.random.key(0),
                     cfg=MatcherConfig(max_matches=256, match_conf=0.25),
                     rcfg=RansacConfig(num_hypotheses=512))
@@ -83,17 +88,12 @@ def test_stitch_pair_sift_end_to_end():
 def test_sift_subpixel_localization():
     """Subpixel interpolation: an off-grid Gaussian blob is localized to
     well under a pixel (round-1 SIFT had integer-only extrema)."""
-    import numpy as np
-    import jax.numpy as jnp
-    from imagestitch_tpu.features.sift import detect_and_compute_sift
-    from imagestitch_tpu.config import DetectorConfig
-
     H, W = 96, 96
     cy, cx = 48.4, 47.7          # deliberately off-grid
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
     img = 200.0 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 3.0 ** 2))
-    f = detect_and_compute_sift(jnp.asarray(img, jnp.float32),
-                                DetectorConfig(max_keypoints=64))
+    f = det(jnp.asarray(img, jnp.float32),
+            cfg=DetectorConfig(kind="sift", max_keypoints=64))
     xy = np.asarray(f.xy)[np.asarray(f.valid)]
     resp = np.asarray(f.response)[np.asarray(f.valid)]
     assert len(xy) > 0
@@ -105,12 +105,6 @@ def test_sift_subpixel_localization():
 def test_sift_descriptor_stability_under_rotation():
     """30-deg rotation: descriptors of corresponding keypoints still match
     (multi-peak orientations + per-scale gradient windows)."""
-    import numpy as np
-    import jax.numpy as jnp
-    from imagestitch_tpu.features.sift import detect_and_compute_sift
-    from imagestitch_tpu.matching.hamming import l2_distance_matrix
-    from imagestitch_tpu.config import DetectorConfig
-
     rng = np.random.RandomState(5)
     H = W = 160
     base = rng.rand(H // 8, W // 8) * 255
@@ -127,9 +121,9 @@ def test_sift_descriptor_stability_under_rotation():
     rot = (img[y0, x0] * (1 - fy) * (1 - fx) + img[y0 + 1, x0] * fy * (1 - fx)
            + img[y0, x0 + 1] * (1 - fy) * fx + img[y0 + 1, x0 + 1] * fy * fx)
 
-    cfg = DetectorConfig(max_keypoints=256)
-    f1 = detect_and_compute_sift(jnp.asarray(img, jnp.float32), cfg)
-    f2 = detect_and_compute_sift(jnp.asarray(rot, jnp.float32), cfg)
+    cfg = DetectorConfig(kind="sift", max_keypoints=256)
+    f1 = det(jnp.asarray(img, jnp.float32), cfg=cfg)
+    f2 = det(jnp.asarray(rot, jnp.float32), cfg=cfg)
     v1 = np.asarray(f1.valid)
     v2 = np.asarray(f2.valid)
     assert v1.sum() > 20 and v2.sum() > 20
@@ -170,9 +164,12 @@ class TestSiftVsOpenCV:
     scene — not keypoint-set identity, which no two SIFT implementations
     share."""
 
-    @staticmethod
-    def _setup():
-        import pytest
+    _cache = None
+
+    @classmethod
+    def _setup(cls):
+        if cls._cache is not None:
+            return cls._cache
         cv2 = pytest.importorskip("cv2")
         from imagestitch_tpu.utils.io import synthetic_rotation_pair
         from imagestitch_tpu.ops.image import rgb_to_gray
@@ -180,9 +177,10 @@ class TestSiftVsOpenCV:
         img1, img2, H_true, _ = synthetic_rotation_pair(
             360, 480, yaw_deg=9.0, pitch_deg=1.0, roll_deg=2.0, seed=11)
         cfg = DetectorConfig(kind="sift")
-        f1 = detect(rgb_to_gray(jnp.asarray(img1, jnp.float32)), cfg)
-        f2 = detect(rgb_to_gray(jnp.asarray(img2, jnp.float32)), cfg)
-        return cv2, img1, img2, H_true, f1, f2
+        f1 = det(rgb_to_gray(jnp.asarray(img1, jnp.float32)), cfg=cfg)
+        f2 = det(rgb_to_gray(jnp.asarray(img2, jnp.float32)), cfg=cfg)
+        cls._cache = (cv2, img1, img2, H_true, f1, f2)
+        return cls._cache
 
     @staticmethod
     def _proj(xy, H):
@@ -243,3 +241,60 @@ class TestSiftVsOpenCV:
         proj = self._proj(xy1, H_true)
         good = np.linalg.norm(proj - xy2, axis=1) < 3.0
         assert good.mean() > 0.75, float(good.mean())
+
+
+def test_pallas_sift_octave_maps_match_xla():
+    """The fused Pallas octave kernel (interpret mode) reproduces the XLA
+    reference path: DoG volume and gS everywhere (the wrapper reflect-pads,
+    matching _sep_filter2d's BORDER_REFLECT_101), extrema scores and
+    gradients on the interior (the XLA extrema test wraps via jnp.roll at
+    the 1-px border and _grad clamps instead of reflecting — both inside
+    the 8-px mask)."""
+    from imagestitch_tpu.features.sift import _octave_maps
+    from imagestitch_tpu.ops.pallas_sift import octave_halo, sift_octave_maps
+
+    img, _, _ = synthetic_pair(96, 160, seed=11)
+    gray = jnp.asarray(img, jnp.float32) @ jnp.asarray(
+        [0.299, 0.587, 0.114], jnp.float32)
+    S, sigma0, ct = 3, 1.6, 34.0 / 3
+    assert min(gray.shape) >= 2 * octave_halo(S, sigma0, True)
+
+    dog_x, score_x, mag_x, ang_x, gs_x = _octave_maps(
+        gray, True, S, sigma0, ct, use_pallas=False)
+    dog_p, score_p, mag_p, ang_p, gs_p = jax.jit(
+        lambda g: sift_octave_maps(g, True, S, sigma0, ct, interpret=True)
+    )(gray)
+
+    np.testing.assert_allclose(np.asarray(dog_p), np.asarray(dog_x),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(gs_p), np.asarray(gs_x), atol=5e-3)
+    sl = np.s_[:, 8:-8, 8:-8]
+    np.testing.assert_allclose(np.asarray(mag_p)[sl], np.asarray(mag_x)[sl],
+                               atol=5e-3)
+    # angles only matter where gradient magnitude is non-negligible
+    strong = np.asarray(mag_x)[sl] > 0.5
+    d_ang = np.abs(np.asarray(ang_p)[sl] - np.asarray(ang_x)[sl])
+    d_ang = np.minimum(d_ang, 2 * np.pi - d_ang)
+    assert d_ang[strong].max() < 2e-2
+    # extrema scores: same nonzero set and values on the interior
+    np.testing.assert_allclose(np.asarray(score_p)[sl],
+                               np.asarray(score_x)[sl], atol=5e-3)
+
+
+def test_pallas_sift_batched_fold():
+    """The custom_vmap folds an outer batch into the kernel grid: batched
+    call equals per-image calls."""
+    from imagestitch_tpu.ops.pallas_sift import sift_octave_maps
+
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.uniform(0, 255, (2, 96, 144)), jnp.float32)
+    f = lambda g: sift_octave_maps(g, False, 3, 1.6, 34.0 / 3,
+                                   interpret=True)
+    outs_b = jax.jit(jax.vmap(f))(imgs)
+    outs_0 = jax.jit(f)(imgs[0])
+    outs_1 = jax.jit(f)(imgs[1])
+    for ob, o0, o1 in zip(outs_b, outs_0, outs_1):
+        np.testing.assert_allclose(np.asarray(ob[0]), np.asarray(o0),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ob[1]), np.asarray(o1),
+                                   atol=1e-4)
