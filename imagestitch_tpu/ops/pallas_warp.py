@@ -329,8 +329,6 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
 KIND_IDS = {"cylindrical": 0.0, "spherical": 1.0, "plane": 2.0}
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("canvas_hw", "kind", "interpret"))
 def pallas_warp_batched(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
                         corners: jnp.ndarray, roi_uvs: jnp.ndarray,
                         canvas_hw: tuple[int, int],
@@ -343,7 +341,21 @@ def pallas_warp_batched(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
     warp directly into a shared pano frame); roi_uvs: (N, 4)
     [u0, v0, u1, v1] per-image ROI bounds on the surface.
     Returns (out (N, Hc, Wc, C), valid (N, Hc, Wc)).
+
+    `kind` is pure data to the kernel (a projector id selected per pixel),
+    NOT a compile-time specialization: one executable per shape serves all
+    kinds, so switching warp kinds costs no recompile.
     """
+    return _warp_batched_jit(imgs, k_rinvs, scale, corners, roi_uvs,
+                             np.float32(KIND_IDS[kind]), canvas_hw,
+                             interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("canvas_hw", "interpret"))
+def _warp_batched_jit(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
+                      corners: jnp.ndarray, roi_uvs: jnp.ndarray,
+                      kind_id, canvas_hw: tuple[int, int],
+                      interpret: bool = False):
     N, H, W = imgs.shape[:3]
     Hc, Wc = canvas_hw
     C = imgs.shape[3] if imgs.ndim == 4 else 1
@@ -365,7 +377,8 @@ def pallas_warp_batched(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
     misc = jnp.concatenate([
         scales,
         corners.astype(jnp.float32).reshape(N, 2),
-        jnp.full((N, 1), KIND_IDS[kind], jnp.float32),
+        jnp.broadcast_to(jnp.asarray(kind_id, jnp.float32).reshape(1, 1),
+                         (N, 1)),
         roi_uvs.astype(jnp.float32).reshape(N, 4),
         jnp.broadcast_to(jnp.asarray([H, W, Hs, Ws], jnp.float32), (N, 4)),
     ], axis=1)                                            # (N, 12)

@@ -1,6 +1,15 @@
 """Pallas warp kernel correctness vs the XLA reference path (interpret mode
 on the CPU test mesh; the same kernel was validated on real TPU hardware:
-mean abs diff 2.5e-5 at 1080p, 29 ms/image vs 65 ms XLA)."""
+mean abs diff 2.5e-5 at 1080p, 29 ms/image vs 65 ms XLA).
+
+Program-sharing design (suite health): the interpret-mode kernel costs
+~80 s of XLA:CPU compile PER (shape, N) combination — and `kind` is pure
+data to the kernel (one executable serves all projectors), so every test
+here uses the SAME (64, 128) source / (96, 256) canvas geometry: the three
+projector parametrizations, the flag-dispatch test, and the batched test's
+single-image calls all hit one N=1 executable; the batched call adds the
+one N=2 executable.
+"""
 
 import numpy as np
 import jax
@@ -11,6 +20,11 @@ from imagestitch_tpu.ops.pallas_warp import pallas_warp
 from imagestitch_tpu.warp.warper import warp_image, roi_bounds
 from imagestitch_tpu.warp.projectors import _camera_mats
 
+H, W = 64, 128
+CANVAS = (96, 256)
+K_CAM = jnp.asarray([[110.0, 0, 64], [0, 110, 32], [0, 0, 1]], jnp.float32)
+SCALE = 110.0
+
 
 def rot_y(a):
     c, s = np.cos(a), np.sin(a)
@@ -19,25 +33,20 @@ def rot_y(a):
 
 @pytest.mark.parametrize("kind", ["cylindrical", "spherical", "plane"])
 def test_pallas_matches_xla(kind):
-    # canvas height sized for a multi-row grid (super-tile is 16 x 512) but
-    # small: interpret-mode runtime scales with grid size x chunk work
     rng = np.random.default_rng(0)
-    H, W = 96, 160
     img = jnp.asarray(rng.uniform(0, 255, (H, W, 3)), jnp.float32)
-    K = jnp.asarray([[130.0, 0, 80], [0, 130, 48], [0, 0, 1]], jnp.float32)
     R = rot_y(0.12)
-    canvas = (128, 224)
 
-    ref = warp_image(img, K, R, 130.0, canvas, kind, use_pallas=False)
-    u0, v0, u1, v1 = roi_bounds(K, R, 130.0, (H, W), kind)
-    _, k_rinv = _camera_mats(K, R)
-    out, valid = pallas_warp(img, k_rinv, 130.0, ref.corner,
-                             jnp.stack([u0, v0, u1, v1]), canvas, kind,
+    ref = warp_image(img, K_CAM, R, SCALE, CANVAS, kind, use_pallas=False)
+    u0, v0, u1, v1 = roi_bounds(K_CAM, R, SCALE, (H, W), kind)
+    _, k_rinv = _camera_mats(K_CAM, R)
+    out, valid = pallas_warp(img, k_rinv, SCALE, ref.corner,
+                             jnp.stack([u0, v0, u1, v1]), CANVAS, kind,
                              interpret=True)
     rv = np.asarray(ref.mask)
     pv = np.asarray(valid)
     both = rv & pv
-    # pallas is conservatively tighter at slab boundaries; must cover >=95%
+    # pallas is conservatively tighter at slab boundaries; must cover >=93%
     assert pv.sum() >= 0.93 * rv.sum()
     assert (pv & ~rv).sum() <= 0.02 * rv.sum() + 8
     d = np.abs(np.asarray(out) - np.asarray(ref.image))[both]
@@ -49,11 +58,10 @@ def test_warp_image_pallas_flag_dispatch():
     """warp_image(use_pallas=True) runs the kernel (interpret on CPU) and
     produces the same WarpResult contract."""
     rng = np.random.default_rng(1)
-    img = jnp.asarray(rng.uniform(0, 255, (96, 128, 3)), jnp.float32)
-    K = jnp.asarray([[150.0, 0, 64], [0, 150, 48], [0, 0, 1]], jnp.float32)
-    r1 = warp_image(img, K, jnp.eye(3), 150.0, (128, 160), "cylindrical",
+    img = jnp.asarray(rng.uniform(0, 255, (H, W, 3)), jnp.float32)
+    r1 = warp_image(img, K_CAM, jnp.eye(3), SCALE, CANVAS, "cylindrical",
                     use_pallas=True)
-    r0 = warp_image(img, K, jnp.eye(3), 150.0, (128, 160), "cylindrical",
+    r0 = warp_image(img, K_CAM, jnp.eye(3), SCALE, CANVAS, "cylindrical",
                     use_pallas=False)
     assert np.array_equal(np.asarray(r1.corner), np.asarray(r0.corner))
     both = np.asarray(r1.mask) & np.asarray(r0.mask)
@@ -68,26 +76,22 @@ def test_pallas_batched_grid_matches_single():
     from imagestitch_tpu.ops.pallas_warp import pallas_warp_batched
 
     rng = np.random.default_rng(2)
-    H, W = 64, 128
     imgs = jnp.asarray(rng.uniform(0, 255, (2, H, W, 3)), jnp.float32)
-    K = jnp.asarray([[110.0, 0, 64], [0, 110, 32], [0, 0, 1]], jnp.float32)
     Rs = [rot_y(-0.08), rot_y(0.15)]
-    canvas = (96, 256)
-    scale = 110.0
 
-    bounds = [roi_bounds(K, R, scale, (H, W), "cylindrical") for R in Rs]
+    bounds = [roi_bounds(K_CAM, R, SCALE, (H, W), "cylindrical") for R in Rs]
     u0 = jnp.floor(jnp.minimum(bounds[0][0], bounds[1][0]))
     v0 = jnp.floor(jnp.minimum(bounds[0][1], bounds[1][1]))
     corner = jnp.stack([u0, v0]).astype(jnp.int32)
-    k_rinvs = jnp.stack([_camera_mats(K, R)[1] for R in Rs])
+    k_rinvs = jnp.stack([_camera_mats(K_CAM, R)[1] for R in Rs])
     roi_uvs = jnp.stack([jnp.stack(b) for b in bounds])
 
     out_b, val_b = pallas_warp_batched(
-        imgs, k_rinvs, scale, jnp.broadcast_to(corner, (2, 2)), roi_uvs,
-        canvas, "cylindrical", interpret=True)
+        imgs, k_rinvs, SCALE, jnp.broadcast_to(corner, (2, 2)), roi_uvs,
+        CANVAS, "cylindrical", interpret=True)
     for i in range(2):
-        out_s, val_s = pallas_warp(imgs[i], k_rinvs[i], scale, corner,
-                                   roi_uvs[i], canvas, "cylindrical",
+        out_s, val_s = pallas_warp(imgs[i], k_rinvs[i], SCALE, corner,
+                                   roi_uvs[i], CANVAS, "cylindrical",
                                    interpret=True)
         assert np.array_equal(np.asarray(val_b[i]), np.asarray(val_s))
         assert np.allclose(np.asarray(out_b[i]), np.asarray(out_s),
