@@ -169,6 +169,11 @@ class PipelineConfig:
     blend: BlendConfig = BlendConfig()
     # working scale: images are processed at full resolution by default
     work_megapix: float = -1.0
+    # chain resilience: also match skip pairs i -> i+2 in stitch_chain and
+    # bridge a broken consecutive link through them (costs ~2x matching in
+    # the chain program; the host Stitcher's MST routes around weak pairs
+    # by construction and does not need this)
+    chain_splice: bool = False
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

@@ -15,6 +15,7 @@ what the end-to-end jitted pipeline uses.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from imagestitch_tpu.types import CameraParams
@@ -163,6 +164,64 @@ def estimate_cameras_host(Hs: np.ndarray, pair_from: np.ndarray,
     if return_tree:
         return cams, edges, reachable
     return cams
+
+
+def estimate_cameras_spliced(H1: jnp.ndarray, valid1: jnp.ndarray,
+                             good1: jnp.ndarray, H2: jnp.ndarray,
+                             valid2: jnp.ndarray, good2: jnp.ndarray,
+                             img_sizes: jnp.ndarray):
+    """Jittable chain camera recovery with one-gap indirect splice.
+
+    H1 (N-1, 3, 3): consecutive i -> i+1 center-normalized homographies;
+    H2 (N-2, 3, 3): skip i -> i+2. `valid*` are h_valid masks (feed the
+    focal median, like estimate_cameras); `good*` additionally gate on
+    match confidence (feed the chain accumulation). A broken consecutive
+    link i -> i+1 is bridged by the skip pair i-1 -> i+1 when that pair is
+    usable and image i-1 was reached; an unbridgeable image stays
+    unreachable and the caller excludes it from the canvas (the
+    leaveBiggestComponent analogue for the fixed-N chain program, where the
+    host MST path is unavailable).
+
+    Returns (CameraParams, reachable (N,) bool).
+    """
+    n1 = H1.shape[0]
+    num_images = n1 + 1
+    focal = estimate_focal(jnp.concatenate([H1, H2], axis=0),
+                           jnp.concatenate([valid1, valid2], axis=0),
+                           img_sizes, num_images)
+
+    K = jnp.eye(3, dtype=jnp.float32) * jnp.array([focal, focal, 1.0])
+    Kinv = jnp.eye(3, dtype=jnp.float32) * jnp.array(
+        [1.0 / focal, 1.0 / focal, 1.0])
+    step1 = jax.vmap(lambda Hm: Kinv @ jnp.linalg.inv(Hm) @ K)(H1)
+    step2 = jax.vmap(lambda Hm: Kinv @ jnp.linalg.inv(Hm) @ K)(H2)
+
+    Rs = [jnp.eye(3, dtype=jnp.float32)]
+    reach = [jnp.asarray(True)]
+    for i in range(n1):
+        cand1 = Rs[i] @ step1[i]
+        ok1 = good1[i] & reach[i]
+        if i >= 1:
+            cand2 = Rs[i - 1] @ step2[i - 1]
+            ok2 = good2[i - 1] & reach[i - 1]
+            R_next = jnp.where(ok1, cand1, jnp.where(ok2, cand2, cand1))
+            reach_next = ok1 | ok2
+        else:
+            R_next = cand1
+            reach_next = ok1
+        Rs.append(R_next)
+        reach.append(reach_next)
+
+    sizes = img_sizes.astype(jnp.float32)
+    cams = CameraParams(
+        focal=jnp.full((num_images,), focal, jnp.float32),
+        aspect=jnp.ones((num_images,), jnp.float32),
+        ppx=0.5 * sizes[:, 1],
+        ppy=0.5 * sizes[:, 0],
+        R=jnp.stack(Rs),
+        t=jnp.zeros((num_images, 3), jnp.float32),
+    )
+    return cams, jnp.stack(reach)
 
 
 def estimate_cameras(Hs_chain: jnp.ndarray, pair_valid: jnp.ndarray,

@@ -29,7 +29,7 @@ from imagestitch_tpu.ops.pyramid import resize_linear_mxu
 from imagestitch_tpu.features import detect as detect_features
 from imagestitch_tpu.matching.matcher import match_pair, match_all
 from imagestitch_tpu.geometry.rotation import (
-    estimate_cameras, estimate_cameras_host)
+    estimate_cameras, estimate_cameras_host, estimate_cameras_spliced)
 from imagestitch_tpu.geometry.bundle import bundle_adjust_ray, wave_correct
 from imagestitch_tpu.warp.warper import warp_image, roi_bounds
 from imagestitch_tpu.exposure.gain import (
@@ -374,27 +374,48 @@ def stitch_chain_front_impl(imgs: jnp.ndarray, key: jax.Array,
     # confidence at/below the keep threshold (ref conf_thresh = 1,
     # 特征点检测.cpp leaveBiggestComponent semantics) — snaps the rotation
     # chain, and every image downstream of the break would land at
-    # identity on top of image 0. A consecutive chain has no indirect
-    # pair to splice through, so mark downstream images unreachable and
-    # remove them from the canvas; `metrics["reachable"]` reports which
-    # images composed.
+    # identity on top of image 0. By default, downstream images are marked
+    # unreachable and removed from the canvas (`metrics["reachable"]`);
+    # with cfg.chain_splice, skip pairs i -> i+2 are also matched and a
+    # single broken link is bridged through them, so only the unbridgeable
+    # image drops out.
     good = mis.h_valid & (mis.confidence > cfg.matcher.conf_thresh)
-    reachable = jnp.concatenate([
-        jnp.ones((1,), bool),
-        jnp.cumprod(good.astype(jnp.int32)).astype(bool)])
-
     sizes = jnp.broadcast_to(jnp.asarray([Hw, Ww], jnp.int32), (N, 2))
-    cams = estimate_cameras(mis.H, mis.h_valid, sizes)
+
+    if cfg.chain_splice and N >= 3:
+        idx2 = jnp.arange(N - 2, dtype=jnp.int32)
+        # fold values N-1.. keep skip-pair keys distinct from the
+        # consecutive pairs' folds 0..N-2
+        keys2 = jax.vmap(lambda j: jax.random.fold_in(key, N - 1 + j))(idx2)
+
+        def one2(j, k):
+            f1 = jax.tree.map(lambda a: a[j], feats)
+            f2 = jax.tree.map(lambda a: a[j + 2], feats)
+            return match_pair(f1, f2, k, j, j + 2, cfg.matcher, cfg.ransac)
+
+        mis2 = jax.vmap(one2)(idx2, keys2)
+        good2 = mis2.h_valid & (mis2.confidence > cfg.matcher.conf_thresh)
+        cams, reachable = estimate_cameras_spliced(
+            mis.H, mis.h_valid, good, mis2.H, mis2.h_valid, good2, sizes)
+        # skip pairs also constrain the bundle adjustment
+        mis_ba = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
+                              mis, mis2)
+    else:
+        reachable = jnp.concatenate([
+            jnp.ones((1,), bool),
+            jnp.cumprod(good.astype(jnp.int32)).astype(bool)])
+        cams = estimate_cameras(mis.H, mis.h_valid, sizes)
+        mis_ba = mis
 
     if cfg.camera.ba_refine:
         src_pts = jax.vmap(lambda i, p: feats.xy[i][p[:, 0]])(
-            mis.src_idx, mis.pairs)
+            mis_ba.src_idx, mis_ba.pairs)
         dst_pts = jax.vmap(lambda j, p: feats.xy[j][p[:, 1]])(
-            mis.dst_idx, mis.pairs)
+            mis_ba.dst_idx, mis_ba.pairs)
         cams = bundle_adjust_ray(
-            cams, src_pts, dst_pts, mis.inliers & mis.valid,
-            mis.src_idx, mis.dst_idx,
-            (mis.confidence > cfg.camera.ba_conf_thresh) & mis.h_valid,
+            cams, src_pts, dst_pts, mis_ba.inliers & mis_ba.valid,
+            mis_ba.src_idx, mis_ba.dst_idx,
+            (mis_ba.confidence > cfg.camera.ba_conf_thresh) & mis_ba.h_valid,
             cfg.camera.ba_iters)
     if cfg.camera.wave_correct:
         cams = cams.replace(R=wave_correct(cams.R))

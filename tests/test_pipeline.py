@@ -186,6 +186,29 @@ def test_stitch_chain_jitted_fixed_n():
     assert pano_c.shape[1] > 224 + 2 * shift
 
 
+def test_stitch_chain_splice_bridges_broken_link():
+    """cfg.chain_splice: a corrupted middle image breaks both of its
+    consecutive pairs; the skip pair i-1 -> i+1 bridges its neighbors so
+    only the corrupted image drops out (without splice, everything
+    downstream of the break is unreachable). Same shapes/config as
+    test_stitch_chain_jitted_fixed_n so the no-splice program is a cache
+    hit."""
+    from imagestitch_tpu.pipeline import stitch_chain
+
+    views, shift = synthetic_sequence(4, 160, 224, overlap=0.7, seed=31)
+    views = list(np.asarray(views))
+    views[2] = np.asarray(
+        np.random.default_rng(0).integers(0, 255, views[2].shape), np.uint8)
+
+    pano0, m0 = stitch_chain(views, CHAIN_CFG)
+    assert list(np.asarray(m0["reachable"])) == [True, True, False, False]
+
+    pano1, m1 = stitch_chain(views, CHAIN_CFG.replace(chain_splice=True))
+    assert list(np.asarray(m1["reachable"])) == [True, True, False, True]
+    # image 3 composes again: the bridged pano extends past the break
+    assert pano1.shape[1] > pano0.shape[1] + shift // 2
+
+
 def test_stage_dump(tmp_path):
     """dump_stages writes per-stage .npz checkpoints (SURVEY §5 analogue of
     the reference's intermediate .bmp dumps)."""
