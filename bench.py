@@ -34,7 +34,9 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -60,6 +62,29 @@ def median_ms(fn, lat, reps=5):
 
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _watchdog(stage, seconds):
+    """Hard-exit with an honest artifact if `stage` wedges.
+
+    When the axon relay is down, the first backend use (inside
+    jax.devices() / the first dispatch) blocks in the tunnel claim loop
+    FOREVER — no exception, no timeout. A wedged bench leaves no artifact
+    at all; this prints the failure as the JSON line instead and exits
+    nonzero so the driver records what happened.
+    """
+    def fire():
+        _log(f"WATCHDOG: {stage} exceeded {seconds}s — axon tunnel down?")
+        print(json.dumps({
+            "metric": "stitch_2x1080p_latency", "value": -1.0,
+            "unit": "ms", "vs_baseline": 0.0,
+            "extra": {"error": f"{stage} timed out after {seconds}s "
+                               "(axon tunnel unreachable)"}}), flush=True)
+        os._exit(3)
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def extras_bench(lat, extra):
@@ -209,8 +234,11 @@ def main():
     # first so first_call_s measures the framework's trace+compile+run, not
     # the tunnel bootstrap.
     t0 = time.perf_counter()
+    wd = _watchdog("backend bring-up (first readback)", 600)
     float(jax.jit(lambda x: x.sum())(jnp.ones((8,))))
+    wd.cancel()
     _log(f"tunnel bootstrap (first readback): {time.perf_counter() - t0:.1f}s")
+    wd = _watchdog("benchmark body", 3600)
 
     t1, t2, _ = synthetic_pair(H, W, overlap=0.4, seed=0)
     r1, r2, H_true, _ = synthetic_rotation_pair(H, W, yaw_deg=10.0, seed=0)
@@ -278,6 +306,7 @@ def main():
     }
     extras_bench(lat, extra)
 
+    wd.cancel()
     print(json.dumps({
         "metric": "stitch_2x1080p_latency",
         "value": round(med, 3),
