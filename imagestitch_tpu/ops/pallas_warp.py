@@ -399,7 +399,7 @@ def _warp_batched_jit(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
                 pl.BlockSpec((1, C, SUPER_H, SUPER_W),
