@@ -62,6 +62,12 @@ def _bound_live_executables():
     keeps the live executable count bounded and the suite stable, at the
     cost of recompiling shared programs across module boundaries — the
     per-module recompiles are cheap at O0, and tests are structured to
-    share executables WITHIN a module (see test_pipeline's docstring)."""
+    share executables WITHIN a module (see test_pipeline's docstring).
+
+    Characterization attempts (tools/repro_xla_cpu_segfault.py): 2000
+    distinct small programs and 400 distinct conv/scan programs both
+    survive in one process (3.2 GB / 1.0 GB RSS), so plain executable
+    count/footprint does NOT reproduce it — the trigger is specific to
+    this suite's giant fused stitch programs."""
     yield
     jax.clear_caches()
