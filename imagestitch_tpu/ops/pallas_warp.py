@@ -73,7 +73,7 @@ def _hat(t):
 
 def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
                  slabs_ref, tq_ref, lyv_ref, vmask_ref, acc_ref, scal_ref,
-                 sems):
+                 slope_ref, sems, *, row_rebase=False):
     """One (SUPER_H, SUPER_W) super-tile of image b.
 
     mat_ref: SMEM (N, 9) float32 — k_rinv (row-major) per image
@@ -85,6 +85,17 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
     slabs_ref: VMEM (NCH, C, SLAB_H, SLAB_W) slab scratch (one per chunk)
     tq_ref/lyv_ref: VMEM (NCH, CHUNK_H, CHUNK_W) per-pixel hat arguments
     scal_ref: SMEM (NCH, 8) int32 per-chunk scalars
+    slope_ref: SMEM (NCH, 1) float32 per-chunk row-rebase slope
+
+    row_rebase (static): factor the map's tilt out of the horizontal shift
+    window. On rotation scenes the chunk-global window qspread (~10-28) is
+    dominated by the row-to-row drift of the backward map, not by
+    within-row spread: rebasing each slab row's lane origin by the linear
+    model u(dr) = round(s*dr) (s = the chunk's d(lx)/d(ly) slope, fitted
+    from vertical finite differences) shrinks the per-row window to the
+    within-row residual, so a smaller static rung serves the chunk and the
+    accumulation loop does proportionally less work. Costs one dynamic
+    row roll per (slab row, channel) in phase 2.
 
     The grid is (N, rows, cols): the batch index is a leading grid dim, so
     warping every image of a stitch (or a whole dispatch batch) is ONE
@@ -202,15 +213,51 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
             jlane = jax.lax.broadcasted_iota(
                 jnp.int32, (CHUNK_H, CHUNK_W), 1)
             qrel = jnp.floor(lx).astype(jnp.int32) - jlane
-            qbase = jnp.min(jnp.where(ok, qrel, jnp.int32(2 ** 30)))
-            qbase = jnp.where(any_ok, qbase, 0)
-            qbase = jnp.clip(qbase, -(SLAB_W - 1), SLAB_W - 1)
-            qmax = jnp.max(jnp.where(ok, qrel, -(2 ** 30)))
-            qspread = jnp.clip(qmax - qbase + 2, 0, QSPAN)
-            # pixels whose shift falls beyond the static QSPAN window when
-            # qspread got clipped lose their taps -> invalid (their pinned
-            # hat args also make them accumulate nothing)
-            okq = ok & (qrel - qbase <= QSPAN - 2)
+            if row_rebase:
+                # fit the chunk's d(lx)/d(ly) slope from vertical finite
+                # differences over pixels valid in both rows
+                rowm = (jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK_H, CHUNK_W), 0)
+                    < CHUNK_H - 1).astype(jnp.float32)
+                okf = ok.astype(jnp.float32)
+                up = CHUNK_H - 1  # roll by H-1 == roll by -1
+                ok2 = okf * pltpu.roll(okf, up, axis=0) * rowm
+                dlx = pltpu.roll(lx, up, axis=0) - lx
+                dly = pltpu.roll(ly, up, axis=0) - ly
+                s_num = jnp.sum(ok2 * dlx)
+                s_den = jnp.sum(ok2 * dly)
+                s = jnp.where(jnp.abs(s_den) > 1e-3, s_num / s_den, 0.0)
+                s = jnp.clip(s, -6.0, 6.0)
+                # residual after removing the per-slab-row shift model
+                # u(dr) = round(s*dr); the +-(|s|+0.5) slop covers both the
+                # rounding of u and the two slab rows (floor(lyv),
+                # floor(lyv)+1) a pixel draws taps from
+                slop = jnp.abs(s) + 0.5
+                lyv_f = ly - rmin.astype(jnp.float32)
+                res = qrel.astype(jnp.float32) - s * lyv_f
+                qbase = jnp.floor(
+                    jnp.min(jnp.where(ok, res, jnp.float32(3.0e38))) - slop
+                ).astype(jnp.int32)
+                qbase = jnp.where(any_ok, qbase, 0)
+                qbase = jnp.clip(qbase, -(SLAB_W - 1), SLAB_W - 1)
+                qmaxf = jnp.max(jnp.where(ok, res, jnp.float32(-3.0e38)))
+                qspread = jnp.clip(
+                    jnp.ceil(qmaxf + slop).astype(jnp.int32) - qbase + 2,
+                    0, QSPAN)
+                okq = ok & (res + slop - qbase.astype(jnp.float32)
+                            <= QSPAN - 2)
+                slope_ref[ch, 0] = s
+            else:
+                qbase = jnp.min(jnp.where(ok, qrel, jnp.int32(2 ** 30)))
+                qbase = jnp.where(any_ok, qbase, 0)
+                qbase = jnp.clip(qbase, -(SLAB_W - 1), SLAB_W - 1)
+                qmax = jnp.max(jnp.where(ok, qrel, -(2 ** 30)))
+                qspread = jnp.clip(qmax - qbase + 2, 0, QSPAN)
+                # pixels whose shift falls beyond the static QSPAN window
+                # when qspread got clipped lose their taps -> invalid
+                # (their pinned hat args also accumulate nothing)
+                okq = ok & (qrel - qbase <= QSPAN - 2)
+                slope_ref[ch, 0] = 0.0
             lx = jnp.where(okq, lx, -10.0)
 
             scal_ref[ch, _S_ANYOK] = any_ok.astype(jnp.int32)
@@ -284,10 +331,21 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
                     wv = _hat(lyv - dr.astype(jnp.float32))
                     rows = [slabs_ref[ch, c, pl.ds(r, 1), :]
                             for c in range(C)]
+                    tk = t
+                    if row_rebase:
+                        # per-slab-row rebase: shift this row's lane
+                        # origin by u = round(s*dr) and the hat argument
+                        # to match (see phase-1 window math)
+                        u = jnp.floor(
+                            slope_ref[ch, 0] * dr.astype(jnp.float32)
+                            + 0.5).astype(jnp.int32)
+                        rows = [pltpu.roll(rw, jnp.mod(-u, SLAB_W), axis=1)
+                                for rw in rows]
+                        tk = t - u.astype(jnp.float32)
                     hc = [jnp.zeros((CHUNK_H, CHUNK_W), jnp.float32)
                           for _ in range(C)]
                     for k in range(nk):
-                        wh = _hat(t - k)
+                        wh = _hat(tk - k)
                         for c in range(C):
                             hc[c] = hc[c] + wh * rows[c][:, k:k + CHUNK_W]
                     for c in range(C):
@@ -306,7 +364,9 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
         # ladder fires per chunk; rungs are spaced by 4 shifts around the
         # measured qspread distribution (median ~10, p90 ~28 on 1080p
         # rotation scenes) so the average window overshoot stays small.
-        rungs = [8, 12, 16, 20, 24, 32, QSPAN]
+        # with row_rebase most chunks collapse to the smallest rung (the
+        # residual window is the within-row spread only), so offer a 4-rung
+        rungs = ([4] if row_rebase else []) + [8, 12, 16, 20, 24, 32, QSPAN]
         lo = 0
         for nk in rungs:
             rb = 4 if nk <= 20 else 2
@@ -333,7 +393,8 @@ def pallas_warp_batched(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
                         corners: jnp.ndarray, roi_uvs: jnp.ndarray,
                         canvas_hw: tuple[int, int],
                         kind: str = "cylindrical",
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        row_rebase: bool = False):
     """Warp (N, H, W, C) imgs into N (Hc, Wc) canvases in ONE kernel launch.
 
     k_rinvs: (N, 3, 3) K·R⁻¹ backward projections; corners: (N, 2) (x, y)
@@ -345,17 +406,21 @@ def pallas_warp_batched(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
     `kind` is pure data to the kernel (a projector id selected per pixel),
     NOT a compile-time specialization: one executable per shape serves all
     kinds, so switching warp kinds costs no recompile.
+
+    `row_rebase` (static, default off pending TPU measurement): factor the
+    map tilt out of the horizontal shift window — see _warp_kernel.
     """
     return _warp_batched_jit(imgs, k_rinvs, scale, corners, roi_uvs,
                              np.float32(KIND_IDS[kind]), canvas_hw,
-                             interpret)
+                             interpret, row_rebase)
 
 
-@functools.partial(jax.jit, static_argnames=("canvas_hw", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("canvas_hw", "interpret", "row_rebase"))
 def _warp_batched_jit(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
                       corners: jnp.ndarray, roi_uvs: jnp.ndarray,
                       kind_id, canvas_hw: tuple[int, int],
-                      interpret: bool = False):
+                      interpret: bool = False, row_rebase: bool = False):
     N, H, W = imgs.shape[:3]
     Hc, Wc = canvas_hw
     C = imgs.shape[3] if imgs.ndim == 4 else 1
@@ -394,7 +459,7 @@ def _warp_batched_jit(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
     def call(mats, misc, planar):
         n = mats.shape[0]
         return tuple(pl.pallas_call(
-            _warp_kernel,
+            functools.partial(_warp_kernel, row_rebase=row_rebase),
             grid=(n,) + grid[1:],
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -420,6 +485,7 @@ def _warp_batched_jit(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
                 pltpu.VMEM((NCH, CHUNK_H, CHUNK_W), jnp.float32),
                 pltpu.VMEM((C, CHUNK_H, CHUNK_W), jnp.float32),
                 pltpu.SMEM((NCH, 8), jnp.int32),
+                pltpu.SMEM((NCH, 1), jnp.float32),
                 pltpu.SemaphoreType.DMA((NCH,)),
             ],
             interpret=interpret,
@@ -447,9 +513,9 @@ def _warp_batched_jit(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
 def pallas_warp(img: jnp.ndarray, k_rinv: jnp.ndarray, scale,
                 corner: jnp.ndarray, roi_uv: jnp.ndarray,
                 canvas_hw: tuple[int, int], kind: str = "cylindrical",
-                interpret: bool = False):
+                interpret: bool = False, row_rebase: bool = False):
     """Single-image wrapper over `pallas_warp_batched` (N = 1)."""
     out, valid = pallas_warp_batched(
         img[None], k_rinv[None], scale, corner[None], roi_uv[None],
-        canvas_hw, kind, interpret)
+        canvas_hw, kind, interpret, row_rebase)
     return out[0], valid[0]

@@ -31,6 +31,16 @@ def rot_y(a):
     return jnp.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]], jnp.float32)
 
 
+def rot_xyz(yaw, pitch, roll):
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cr, sr = np.cos(roll), np.sin(roll)
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]])
+    return jnp.asarray(Ry @ Rx @ Rz, jnp.float32)
+
+
 @pytest.mark.parametrize("kind", ["cylindrical", "spherical", "plane"])
 def test_pallas_matches_xla(kind):
     rng = np.random.default_rng(0)
@@ -52,6 +62,43 @@ def test_pallas_matches_xla(kind):
     d = np.abs(np.asarray(out) - np.asarray(ref.image))[both]
     assert d.max() < 1.5
     assert d.mean() < 0.05
+
+
+def test_pallas_row_rebase_matches_xla():
+    """row_rebase=True (per-slab-row horizontal rebase, the rotation-scene
+    fast path) must match the XLA reference on a tilted scene — roll+pitch
+    make the backward map's ly drift along lanes, which is exactly the case
+    the rebase factorizes. Also cross-checked against the row_rebase=False
+    kernel: both are exact bilinear samplers, so jointly-valid pixels agree
+    to float tolerance."""
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 255, (H, W, 3)), jnp.float32)
+    R = rot_xyz(0.12, 0.08, 0.10)
+
+    ref = warp_image(img, K_CAM, R, SCALE, CANVAS, "cylindrical",
+                     use_pallas=False)
+    u0, v0, u1, v1 = roi_bounds(K_CAM, R, SCALE, (H, W), "cylindrical")
+    _, k_rinv = _camera_mats(K_CAM, R)
+    roi = jnp.stack([u0, v0, u1, v1])
+    out_rb, val_rb = pallas_warp(img, k_rinv, SCALE, ref.corner, roi,
+                                 CANVAS, "cylindrical", interpret=True,
+                                 row_rebase=True)
+    rv = np.asarray(ref.mask)
+    pv = np.asarray(val_rb)
+    assert pv.sum() >= 0.93 * rv.sum()
+    assert (pv & ~rv).sum() <= 0.02 * rv.sum() + 8
+    both = rv & pv
+    d = np.abs(np.asarray(out_rb) - np.asarray(ref.image))[both]
+    assert d.max() < 1.5
+    assert d.mean() < 0.05
+
+    out_nb, val_nb = pallas_warp(img, k_rinv, SCALE, ref.corner, roi,
+                                 CANVAS, "cylindrical", interpret=True,
+                                 row_rebase=False)
+    jv = pv & np.asarray(val_nb)
+    assert jv.sum() >= 0.97 * np.asarray(val_nb).sum()
+    dd = np.abs(np.asarray(out_rb) - np.asarray(out_nb))[jv]
+    assert dd.max() < 1e-3
 
 
 def test_warp_image_pallas_flag_dispatch():
