@@ -394,7 +394,8 @@ def pallas_warp_batched(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
                         canvas_hw: tuple[int, int],
                         kind: str = "cylindrical",
                         interpret: bool = False,
-                        row_rebase: bool = False):
+                        row_rebase: bool = False,
+                        src_sizes=None):
     """Warp (N, H, W, C) imgs into N (Hc, Wc) canvases in ONE kernel launch.
 
     k_rinvs: (N, 3, 3) K·R⁻¹ backward projections; corners: (N, 2) (x, y)
@@ -402,6 +403,12 @@ def pallas_warp_batched(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
     warp directly into a shared pano frame); roi_uvs: (N, 4)
     [u0, v0, u1, v1] per-image ROI bounds on the surface.
     Returns (out (N, Hc, Wc, C), valid (N, Hc, Wc)).
+
+    `src_sizes` (optional (N, 2) [h, w]): per-image TRUE sizes when `imgs`
+    carries images padded to a common shape (mixed-size stitching). The
+    kernel's in-image test is per-image data (misc src_h/src_w), so samples
+    beyond an image's true extent are invalidated; pad with edge-replicate
+    so border bilinear taps stay exact.
 
     `kind` is pure data to the kernel (a projector id selected per pixel),
     NOT a compile-time specialization: one executable per shape serves all
@@ -412,7 +419,7 @@ def pallas_warp_batched(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
     """
     return _warp_batched_jit(imgs, k_rinvs, scale, corners, roi_uvs,
                              np.float32(KIND_IDS[kind]), canvas_hw,
-                             interpret, row_rebase)
+                             interpret, row_rebase, src_sizes)
 
 
 @functools.partial(jax.jit,
@@ -420,7 +427,8 @@ def pallas_warp_batched(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
 def _warp_batched_jit(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
                       corners: jnp.ndarray, roi_uvs: jnp.ndarray,
                       kind_id, canvas_hw: tuple[int, int],
-                      interpret: bool = False, row_rebase: bool = False):
+                      interpret: bool = False, row_rebase: bool = False,
+                      src_sizes=None):
     N, H, W = imgs.shape[:3]
     Hc, Wc = canvas_hw
     C = imgs.shape[3] if imgs.ndim == 4 else 1
@@ -439,13 +447,18 @@ def _warp_batched_jit(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
     mats = k_rinvs.reshape(N, 9).astype(jnp.float32)
     scales = jnp.broadcast_to(jnp.asarray(scale, jnp.float32).reshape(-1),
                               (N,))[:, None]
+    if src_sizes is None:
+        true_hw = jnp.broadcast_to(jnp.asarray([H, W], jnp.float32), (N, 2))
+    else:
+        true_hw = jnp.asarray(src_sizes, jnp.float32).reshape(N, 2)
     misc = jnp.concatenate([
         scales,
         corners.astype(jnp.float32).reshape(N, 2),
         jnp.broadcast_to(jnp.asarray(kind_id, jnp.float32).reshape(1, 1),
                          (N, 1)),
         roi_uvs.astype(jnp.float32).reshape(N, 4),
-        jnp.broadcast_to(jnp.asarray([H, W, Hs, Ws], jnp.float32), (N, 4)),
+        true_hw,
+        jnp.broadcast_to(jnp.asarray([Hs, Ws], jnp.float32), (N, 2)),
     ], axis=1)                                            # (N, 12)
 
     # custom_vmap: pallas_call's generic batching rule mangles the SMEM

@@ -194,10 +194,16 @@ def _seam_and_blend(images: jnp.ndarray, masks: jnp.ndarray,
 
 
 def _warp_all_shared(images: jnp.ndarray, cams: CameraParams, scale,
-                     canvas_hw: tuple[int, int], cfg: PipelineConfig):
+                     canvas_hw: tuple[int, int], cfg: PipelineConfig,
+                     src_sizes: np.ndarray | None = None):
     """Warp N images into one shared pano frame whose corner is the union of
     all per-image ROI corners.
     Returns (warped (N,Hc,Wc,C), masks, corner, overflow).
+
+    `src_sizes` (host (N, 2) int [h, w], optional): per-image TRUE sizes
+    when `images` are edge-replicate-padded to a common shape (mixed-size
+    stitching). Static data — ROIs, the Pallas in-image tests, and the XLA
+    path's source slices all honor the true extents.
 
     Every image warps DIRECTLY into the full shared canvas in one batched
     Pallas launch (grid = (N, rows, cols)): canvas tiles outside an image's
@@ -214,7 +220,12 @@ def _warp_all_shared(images: jnp.ndarray, cams: CameraParams, scale,
     H, W = images.shape[1:3]
     Hc, Wc = canvas_hw
     Ks = cams.K()
-    bounds = [roi_bounds(Ks[i], cams.R[i], scale, (H, W), cfg.warp.kind)
+    if src_sizes is None:
+        hws = [(H, W)] * n
+    else:
+        hws = [(int(src_sizes[i, 0]), int(src_sizes[i, 1]))
+               for i in range(n)]
+    bounds = [roi_bounds(Ks[i], cams.R[i], scale, hws[i], cfg.warp.kind)
               for i in range(n)]
     roi_uvs = jnp.stack([jnp.stack(b) for b in bounds])  # (N, 4) u0,v0,u1,v1
     u0 = jnp.min(roi_uvs[:, 0])
@@ -235,13 +246,17 @@ def _warp_all_shared(images: jnp.ndarray, cams: CameraParams, scale,
         corners = jnp.broadcast_to(corner, (n, 2))
         warped, masks = pallas_warp_batched(
             images, k_rinvs, scale, corners, roi_uvs, (Hc, Wc),
-            cfg.warp.kind)
+            cfg.warp.kind, src_sizes=src_sizes)
         return warped, masks, corner, overflow, roi_uvs
 
     canvases, mask_list = [], []
     for i in range(n):
-        r = warp_image(images[i], Ks[i], cams.R[i], scale, (Hc, Wc),
-                       cfg.warp.kind, corner=corner, use_pallas=False)
+        # static slice back to the true extent: the XLA path warps each
+        # image separately anyway, so padding never enters the gather
+        hi, wi = hws[i]
+        r = warp_image(images[i, :hi, :wi], Ks[i], cams.R[i], scale,
+                       (Hc, Wc), cfg.warp.kind, corner=corner,
+                       use_pallas=False)
         canvases.append(r.image)
         mask_list.append(r.mask)
     return (jnp.stack(canvases), jnp.stack(mask_list), corner, overflow,
@@ -258,8 +273,15 @@ def stitch_pair_front_impl(img1: jnp.ndarray, img2: jnp.ndarray,
     """Stages 1-7 (detect → gain-compensated shared-frame warps) as one
     traceable function. Returns (warped (2,Hc,Wc,3), masks (2,Hc,Wc),
     corner, metrics). The host-seam pair path runs THIS under jit, resolves
-    seams on the host, then blends under jit."""
-    H, W = img1.shape[:2]
+    seams on the host, then blends under jit.
+
+    img1 and img2 may have DIFFERENT shapes (mixed-size stitching, like the
+    cv2.detail pipeline): every per-image stage runs on each image's own
+    static shape; only the shared-canvas warp pads to the common extent
+    (edge-replicate, with true sizes passed as data)."""
+    H1, W1 = img1.shape[:2]
+    H2, W2 = img2.shape[:2]
+    H, W = max(H1, H2), max(W1, W2)
     img1 = img1.astype(jnp.float32)
     img2 = img2.astype(jnp.float32)
 
@@ -268,15 +290,16 @@ def stitch_pair_front_impl(img1: jnp.ndarray, img2: jnp.ndarray,
     # compositing at full resolution with the intrinsics scaled back up.
     # The scale is static (shapes are), so jit sees fixed shapes.
     ws = _work_scale(cfg, (H, W))
-    Hw = max(int(round(H * ws)), 1)
-    Ww = max(int(round(W * ws)), 1)
 
-    # 1-2. features (ref :1034-1038)
+    def wdim(d):
+        return max(int(round(d * ws)), 1)
+
+    # 1-2. features (ref :1034-1038), each image at its own shape
     g1 = rgb_to_gray(img1)
     g2 = rgb_to_gray(img2)
     if ws < 1.0:
-        g1 = resize_linear_mxu(g1, (Hw, Ww))
-        g2 = resize_linear_mxu(g2, (Hw, Ww))
+        g1 = resize_linear_mxu(g1, (wdim(H1), wdim(W1)))
+        g2 = resize_linear_mxu(g2, (wdim(H2), wdim(W2)))
     f1 = detect_features(g1, cfg.detector)
     f2 = detect_features(g2, cfg.detector)
 
@@ -284,7 +307,8 @@ def stitch_pair_front_impl(img1: jnp.ndarray, img2: jnp.ndarray,
     mi = match_pair(f1, f2, key, 0, 1, cfg.matcher, cfg.ransac)
 
     # 4. camera recovery over the 2-chain (ref 恢复相机内参数.cpp:313-321)
-    sizes = jnp.asarray([[Hw, Ww], [Hw, Ww]], jnp.int32)
+    sizes = jnp.asarray([[wdim(H1), wdim(W1)], [wdim(H2), wdim(W2)]],
+                        jnp.int32)
     cams = estimate_cameras(mi.H[None], mi.h_valid[None], sizes)
 
     # 5. bundle adjustment (stock BundleAdjusterRay in ref :1064-1067),
@@ -306,9 +330,18 @@ def stitch_pair_front_impl(img1: jnp.ndarray, img2: jnp.ndarray,
     # 6. warp at scale = focal (ref :1093-1109, 圆柱面投影.cpp:222)
     scale = jnp.median(cams.focal)
     canvas_hw = _pano_canvas_shape((H, W), 2, cfg)
-    imgs = jnp.stack([img1, img2])
+    if (H1, W1) == (H2, W2):
+        imgs = jnp.stack([img1, img2])
+        src_sizes = None
+    else:
+        # pad to the common extent with edge replication (keeps border
+        # bilinear taps exact); true sizes travel as data
+        imgs = jnp.stack([
+            jnp.pad(img1, ((0, H - H1), (0, W - W1), (0, 0)), mode="edge"),
+            jnp.pad(img2, ((0, H - H2), (0, W - W2), (0, 0)), mode="edge")])
+        src_sizes = np.asarray([[H1, W1], [H2, W2]], np.int32)
     warped, masks, corner, overflow, roi_uvs = _warp_all_shared(
-        imgs, cams, scale, canvas_hw, cfg)
+        imgs, cams, scale, canvas_hw, cfg, src_sizes=src_sizes)
 
     # 7. exposure compensation (ref :1114-1121)
     warped = _apply_exposure(warped, masks, cfg)
@@ -328,8 +361,10 @@ def stitch_pair_impl(img1: jnp.ndarray, img2: jnp.ndarray, key: jax.Array,
     """Two (H, W, 3) RGB float/uint8 arrays -> (pano canvas, valid, corner,
     metrics). One XLA program covering the reference's entire 7-stage
     pipeline (特征点检测.cpp:1023-1185). Unjitted implementation — jit via
-    `stitch_pair_core`, vmap via parallel.batch."""
-    H, W = img1.shape[:2]
+    `stitch_pair_core`, vmap via parallel.batch. Mixed-size inputs are
+    supported (see stitch_pair_front_impl)."""
+    H = max(img1.shape[0], img2.shape[0])
+    W = max(img1.shape[1], img2.shape[1])
     warped, masks, corner, metrics = stitch_pair_front_impl(
         img1, img2, key, cfg)
     # 8-10. seam + mask postprocess + blend (ref :1128-1183)
@@ -596,7 +631,12 @@ class Stitcher:
         self._match_all = _jitted_match_all(self.cfg.matcher, self.cfg.ransac)
 
     def stitch(self, images, seed: int = 0, dump_stages: str | None = None):
-        """images: list/array of (H, W, 3) uint8 RGB (same size).
+        """images: list/array of (H, W, 3) uint8 RGB. Sizes may DIFFER per
+        image (like the cv2.detail pipeline): smaller images are
+        edge-replicate-padded to the common extent and their true sizes
+        travel as data — detection masks keypoints to each image's true
+        border, camera recovery uses per-image principal points, and the
+        warp bounds samples to each image's true extent.
         Returns (pano uint8, metrics dict).
 
         dump_stages: optional directory — every stage output is saved as a
@@ -608,16 +648,32 @@ class Stitcher:
         cfg = self.cfg
         timer = StageTimer()
         dump = _StageDumper(dump_stages)
-        imgs = jnp.asarray(np.stack(images), jnp.float32)
-        n, H, W = imgs.shape[:3]
+        n = len(images)
         if n == 1:
             return np.asarray(images[0]), {"n_images": 1}
         if n == 2:
             return stitch_pair(images[0], images[1], cfg, seed)
 
+        shapes = [tuple(np.asarray(im).shape[:2]) for im in images]
+        if len(set(shapes)) > 1:
+            H = max(h for h, _ in shapes)
+            W = max(w for _, w in shapes)
+            full_sizes = np.asarray(shapes, np.int32)
+            images = [np.pad(np.asarray(im),
+                             ((0, H - h), (0, W - w), (0, 0)), mode="edge")
+                      for im, (h, w) in zip(images, shapes)]
+        else:
+            H, W = shapes[0]
+            full_sizes = None
+        imgs = jnp.asarray(np.stack(images), jnp.float32)
+
         ws = _work_scale(cfg, (H, W))
         Hw = max(int(round(H * ws)), 1)
         Ww = max(int(round(W * ws)), 1)
+        if full_sizes is not None:
+            work_sizes = np.maximum(np.round(full_sizes * ws), 1.0)
+        else:
+            work_sizes = np.asarray([[Hw, Ww]] * n, np.float64)
 
         with timer.stage("detect"):
             grays = jax.vmap(rgb_to_gray)(imgs)
@@ -625,6 +681,22 @@ class Stitcher:
                 grays = jax.vmap(
                     lambda g: resize_linear_mxu(g, (Hw, Ww)))(grays)
             feats = self._detect(grays)
+            if full_sizes is not None:
+                # keypoints beyond an image's true border (detected in the
+                # replicate padding, or whose descriptor patch would sample
+                # it) are invalidated — the OpenCV runByImageBorder
+                # semantics against the TRUE size, with the border scaled
+                # per pyramid level (patches grow by scale_factor**level
+                # in level-0 coords)
+                b = (cfg.detector.edge_threshold
+                     * cfg.detector.scale_factor
+                     ** feats.level.astype(jnp.float32))
+                sw = jnp.asarray(work_sizes, jnp.float32)
+                inb = ((feats.xy[..., 0] >= b)
+                       & (feats.xy[..., 0] <= sw[:, None, 1] - 1.0 - b)
+                       & (feats.xy[..., 1] >= b)
+                       & (feats.xy[..., 1] <= sw[:, None, 0] - 1.0 - b))
+                feats = feats.replace(valid=feats.valid & inb)
             jax.block_until_ready(feats.xy)
         dump("features", xy=feats.xy, valid=feats.valid,
              response=feats.response, level=feats.level)
@@ -643,7 +715,7 @@ class Stitcher:
                 np.asarray(ms.H), np.asarray(ms.src_idx),
                 np.asarray(ms.dst_idx), np.asarray(ms.num_inliers),
                 np.asarray(ms.h_valid) & keep,
-                np.asarray([[Hw, Ww]] * n), return_tree=True)
+                np.asarray(work_sizes), return_tree=True)
 
         if cfg.camera.ba_refine:
             with timer.stage("bundle_adjust"):
@@ -667,7 +739,7 @@ class Stitcher:
             scale = jnp.median(cams.focal)
             canvas_hw = _pano_canvas_shape((H, W), n, cfg)
             warped, masks, corner, overflow, _ = _warp_all_shared(
-                imgs, cams, scale, canvas_hw, cfg)
+                imgs, cams, scale, canvas_hw, cfg, src_sizes=full_sizes)
             # leaveBiggestComponent semantics: images with no confident
             # path into the panorama's match component would compose at
             # identity on top of the center image — exclude them instead

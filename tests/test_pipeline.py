@@ -209,6 +209,43 @@ def test_stitch_chain_splice_bridges_broken_link():
     assert pano1.shape[1] > pano0.shape[1] + shift // 2
 
 
+def test_stitch_pair_mixed_sizes():
+    """img1 and img2 with DIFFERENT shapes (cv2.detail supports per-image
+    sizes): per-image stages run on each image's own static shape, the
+    shared-canvas warp pads with edge replication and bounds samples by the
+    true sizes."""
+    from imagestitch_tpu.pipeline import stitch_pair
+
+    i1, i2, shift = synthetic_pair(160, 224, overlap=0.6, seed=0)
+    i2c = np.asarray(i2)[:144, :192]
+    pano, m = stitch_pair(np.asarray(i1), i2c)
+    assert m["h_valid"]
+    # pano extends past img1's width by roughly the known shift
+    assert pano.shape[1] > 224 + shift // 2
+
+
+def test_stitcher_mixed_sizes():
+    """N-image host Stitcher with heterogeneous input sizes: the cropped
+    middle image must still register (keypoints masked to its true border)
+    and compose (warp bounded by its true extent — no replicate-padding
+    streaks in the pano)."""
+    from imagestitch_tpu.pipeline import Stitcher
+
+    views, shift = synthetic_sequence(3, 160, 224, overlap=0.7, seed=11)
+    views = list(np.asarray(views))
+    views[1] = views[1][:144, :200]
+
+    pano, m = Stitcher(CHAIN_CFG).stitch(views)
+    assert all(m["reachable"])
+    assert pano.shape[1] > 224 + shift
+    # uniform-size control: same scene uncropped must also compose wider
+    pano_u, mu = Stitcher(CHAIN_CFG).stitch(
+        list(np.asarray(synthetic_sequence(3, 160, 224, overlap=0.7,
+                                           seed=11)[0])))
+    assert all(mu["reachable"])
+    assert abs(pano_u.shape[1] - pano.shape[1]) < 64
+
+
 def test_stage_dump(tmp_path):
     """dump_stages writes per-stage .npz checkpoints (SURVEY §5 analogue of
     the reference's intermediate .bmp dumps)."""
