@@ -134,6 +134,8 @@ class TestWarper:
         ("cylindrical", "cylindrical"),
         ("spherical", "spherical"),
         ("plane", "plane"),
+        ("fisheye", "fisheye"),
+        ("stereographic", "stereographic"),
     ])
     def test_warp_backward_maps_vs_opencv(self, kind, cv_name):
         """buildMaps parity: our projector backward map vs cv2's
@@ -371,3 +373,108 @@ class TestGain:
         ours = np.asarray(gains)
         # cv gains read back through a uint8 probe: 1/200 quantization
         assert np.abs(ours - np.asarray(cv_gains)).max() < 0.02
+
+    def test_gain_blocks_vs_opencv(self):
+        """cv2.detail.BlocksGainCompensator vs gain_compensate_blocks on a
+        spatially-varying exposure difference. The per-block gain systems
+        are identical; the gain-map smoothing/upsampling differs (cv2
+        bilinearly interpolates block corners, we Gaussian-smooth + MXU
+        resize), so the applied images are compared with a smoothing-scale
+        tolerance, and both must actually fix the exposure mismatch."""
+        from imagestitch_tpu.exposure.gain import gain_compensate_blocks
+
+        rng = np.random.default_rng(0)
+        H, W = 96, 128
+        g = rng.uniform(60, 200, (H, W)).astype(np.float32)
+        ramp = np.linspace(0.4, 0.7, W)[None, :]  # varying attenuation
+        img1 = np.repeat(np.clip(g, 0, 255).astype(np.uint8)[..., None],
+                         3, -1)
+        img2 = np.repeat(np.clip(g * ramp, 0, 255)
+                         .astype(np.uint8)[..., None], 3, -1)
+        m1 = np.zeros((H, W), np.uint8)
+        m1[:, :96] = 255
+        m2 = np.zeros((H, W), np.uint8)
+        m2[:, 48:] = 255
+
+        comp = cv2.detail.BlocksGainCompensator(32, 32)
+        comp.feed(corners=[(0, 0), (0, 0)], images=[img1, img2],
+                  masks=[m1, m2])
+        cv_out = []
+        for i, (im, m) in enumerate(((img1, m1), (img2, m2))):
+            p = im.copy()
+            comp.apply(i, (0, 0), p, m)
+            cv_out.append(p.astype(np.float32))
+
+        _, comped = gain_compensate_blocks(
+            jnp.asarray(np.stack([img1, img2]), jnp.float32),
+            jnp.asarray(np.stack([m1 > 0, m2 > 0])), block=32)
+        ours = np.asarray(comped)
+        for i, m in enumerate((m1, m2)):
+            d = np.abs(ours[i][m > 0] - cv_out[i][m > 0])
+            assert d.mean() < 8.0, f"img{i}: mean dev {d.mean():.1f}"
+
+        # both compensators must shrink the overlap mismatch vs uncorrected
+        ov = (m1 > 0) & (m2 > 0)
+        before = np.abs(img1.astype(np.float32)[ov]
+                        - img2.astype(np.float32)[ov]).mean()
+        after_ours = np.abs(ours[0][ov] - ours[1][ov]).mean()
+        after_cv = np.abs(cv_out[0][ov] - cv_out[1][ov]).mean()
+        assert after_ours < 0.55 * before
+        assert after_ours < 1.35 * after_cv
+
+
+class TestBlendersAndSeams:
+    def test_multiband_vs_opencv(self):
+        """cv2.detail.MultiBandBlender (5 bands) vs blend.multiband on the
+        same seam-split canvases: >30 dB PSNR over the blended region
+        (pyramid border semantics differ slightly; content must not)."""
+        from imagestitch_tpu.blend.multiband import multiband_blend
+
+        rng = np.random.default_rng(0)
+        H, W = 96, 128
+        g = rng.uniform(40, 220, (H, W)).astype(np.float32)
+        img1 = np.repeat(np.clip(g, 0, 255).astype(np.uint8)[..., None],
+                         3, -1)
+        img2 = np.repeat(np.clip(g * 0.8 + 20, 0, 255)
+                         .astype(np.uint8)[..., None], 3, -1)
+        m1 = np.zeros((H, W), np.uint8)
+        m1[:, :96] = 255
+        m2 = np.zeros((H, W), np.uint8)
+        m2[:, 48:] = 255
+        s1 = np.zeros((H, W), np.uint8)
+        s1[:, :72] = 255
+        s2 = np.zeros((H, W), np.uint8)
+        s2[:, 72:] = 255
+
+        mb = cv2.detail.MultiBandBlender(0, 5)
+        mb.prepare((0, 0, W, H))
+        mb.feed(img1.astype(np.int16), s1 & m1, (0, 0))
+        mb.feed(img2.astype(np.int16), s2 & m2, (0, 0))
+        pano_cv, mask_cv = mb.blend(None, None)
+        pano_cv = np.clip(pano_cv, 0, 255).astype(np.float32)
+
+        pano_j, valid_j = multiband_blend(
+            jnp.asarray(np.stack([img1, img2]), jnp.float32),
+            jnp.asarray(np.stack([(s1 & m1) > 0, (s2 & m2) > 0])),
+            num_bands=5)
+        pj = np.clip(np.asarray(pano_j), 0, 255)
+        sel = (np.asarray(mask_cv) > 0) & np.asarray(valid_j)
+        mse = float(((pj[sel] - pano_cv[sel]) ** 2).mean())
+        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+        assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
+
+    def test_l1_distance_transform_vs_opencv(self):
+        """Our scan-based L1 distance transform — the numeric core of the
+        VoronoiSeamFinder — is EXACT vs cv2.distanceTransform(DIST_L1).
+        (cv2 5.0's detail.VoronoiSeamFinder python binding itself
+        segfaults, like the BundleAdjuster bindings — the core is the
+        testable surface.)"""
+        from imagestitch_tpu.seam.distance import l1_distance_transform
+
+        rng = np.random.default_rng(2)
+        m = rng.random((64, 96)) > 0.4
+        m[0] = m[-1] = False
+        m[:, 0] = m[:, -1] = False
+        ours = np.asarray(l1_distance_transform(jnp.asarray(m)))
+        cvd = cv2.distanceTransform(m.astype(np.uint8), cv2.DIST_L1, 3)
+        assert np.array_equal(ours, cvd)
