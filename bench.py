@@ -197,6 +197,50 @@ def extras_bench(lat, extra):
     run("chain4_cyl", lambda: chain(4, 480, 640, "cyl"))
     run("chain8_1080p", lambda: chain(8, 1080, 1920, "1080p"))
 
+    # --- warp kernel variants: row_rebase flip experiment ------------------
+    def warp_variants():
+        """Times the Pallas warp at 2x1080p rotation-scene geometry with
+        row_rebase off vs on (the tilt-factorized shift window). Records
+        both so the default can be flipped on data (ROADMAP round-3)."""
+        from imagestitch_tpu.ops.pallas_warp import pallas_warp_batched
+        from imagestitch_tpu.warp.warper import roi_bounds
+        from imagestitch_tpu.warp.projectors import _camera_mats
+        from imagestitch_tpu.utils.io import synthetic_rotation_pair
+
+        H, W = 1080, 1920
+        r1, r2, _, _ = synthetic_rotation_pair(H, W, yaw_deg=10.0, seed=0)
+        imgs = jnp.asarray(np.stack([r1, r2]), jnp.float32)
+        f = 0.9 * W
+        K = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]],
+                        jnp.float32)
+        ang = np.deg2rad(10.0)
+        ca, sa = np.cos(ang), np.sin(ang)
+        Rr = jnp.asarray([[ca, 0, sa], [0, 1, 0], [-sa, 0, ca]], jnp.float32)
+        tilt = np.deg2rad(3.0)
+        ct, st = np.cos(tilt), np.sin(tilt)
+        Rt = jnp.asarray([[ct, -st, 0], [st, ct, 0], [0, 0, 1]], jnp.float32)
+        Rs = [jnp.eye(3, dtype=jnp.float32), Rr @ Rt]
+        bounds = [roi_bounds(K, R, f, (H, W), "cylindrical") for R in Rs]
+        u0 = jnp.floor(jnp.minimum(bounds[0][0], bounds[1][0]))
+        v0 = jnp.floor(jnp.minimum(bounds[0][1], bounds[1][1]))
+        corner = jnp.stack([u0, v0]).astype(jnp.int32)
+        k_rinvs = jnp.stack([_camera_mats(K, R)[1] for R in Rs])
+        roi_uvs = jnp.stack([jnp.stack(b) for b in bounds])
+        canvas = (1480, 3456)
+        corners = jnp.broadcast_to(corner, (2, 2))
+
+        for flag in (False, True):
+            def one():
+                o, v = pallas_warp_batched(imgs, k_rinvs, f, corners,
+                                           roi_uvs, canvas, "cylindrical",
+                                           row_rebase=flag)
+                return float(o.sum() + v.sum())
+            ms = median_ms(one, lat)
+            extra[f"warp_{'rowrebase' if flag else 'base'}_ms"] = round(
+                ms, 2)
+            _log(f"  warp row_rebase={flag}: {ms:.1f} ms")
+    run("warp_variants", warp_variants)
+
     # --- DP seam + multiband blend pair (configs[2]) ----------------------
     def mb_pair():
         cfg = PipelineConfig(
