@@ -25,7 +25,8 @@ def _build_config(args) -> "PipelineConfig":
     return cfg.replace(
         warp=WarpConfig(kind=args.warp),
         seam=SeamConfig(kind=args.seam,
-                        full_components=args.full_seam_components),
+                        full_components=args.full_seam_components,
+                        seam_megapix=args.seam_megapix),
         blend=BlendConfig(kind=args.blend),
         exposure=ExposureConfig(kind=args.exposure),
         work_megapix=args.work_megapix,
@@ -62,6 +63,11 @@ def main(argv=None):
         q.add_argument("--full_seam_components", action="store_true",
                        help="full DpSeamFinder component machinery on the "
                             "host (dp_* seam kinds)")
+        q.add_argument("--seam_megapix", type=float, default=-1.0,
+                       help="resolve host seams (graphcut / full "
+                            "components) at this many megapixels and "
+                            "upscale the masks (OpenCV stitching_detailed "
+                            "seam_megapix; <=0: full resolution)")
         q.add_argument("--seed", type=int, default=0)
         q.add_argument("--metrics", action="store_true",
                        help="print the metrics dict as JSON")

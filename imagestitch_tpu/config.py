@@ -145,6 +145,13 @@ class SeamConfig:
     # :196-1093) on the host via native CCL, instead of the fast on-device
     # windowed scan DP. Applies to dp_color/dp_colorgrad kinds.
     full_components: bool = False
+    # host-seam resolution scale (OpenCV stitching_detailed seam_megapix,
+    # default 0.1 there): > 0 finds graphcut / full-components seams on
+    # canvases downscaled to ~this many megapixels, then upscales the seam
+    # masks (nearest) — the dilate+blend stage smooths the quantization.
+    # <= 0 keeps full-resolution seams (this framework's default; the
+    # on-device scan-DP fast path is unaffected either way).
+    seam_megapix: float = -1.0
 
 
 @dataclass(frozen=True)

@@ -101,8 +101,42 @@ def _host_seam_masks(warped, masks, cfg: PipelineConfig, edges=None):
     consecutive chain order otherwise), or the full reference DpSeamFinder
     (component labeling / conflict resolution / seam tips,
     ref 动态规划....cpp:196-1093).
-    warped/masks: NumPy (N, H, W, C) / (N, H, W). Returns (N, H, W) bool."""
+    warped/masks: NumPy (N, H, W, C) / (N, H, W). Returns (N, H, W) bool.
+
+    cfg.seam.seam_megapix > 0 resolves the seams at reduced scale (the
+    OpenCV stitching_detailed seam_megapix knob) and upscales the masks."""
     n = len(masks)
+    Hc, Wc = masks[0].shape[:2]
+    sm = cfg.seam.seam_megapix
+    if sm > 0 and Hc * Wc > sm * 1e6:
+        import dataclasses
+
+        s = float(np.sqrt(sm * 1e6 / (Hc * Wc)))
+        hs = max(int(round(Hc * s)), 16)
+        ws_ = max(int(round(Wc * s)), 16)
+        # nearest-index decimation (seams only need the coarse cost
+        # structure; the dilate+blend stage absorbs the quantization)
+        yi = np.minimum((np.arange(hs) / s).astype(np.int64), Hc - 1)
+        xi = np.minimum((np.arange(ws_) / s).astype(np.int64), Wc - 1)
+        w_lo = np.asarray(warped)[:, yi][:, :, xi]
+        m_lo = np.asarray(masks)[:, yi][:, :, xi]
+        cfg_full = cfg.replace(
+            seam=dataclasses.replace(cfg.seam, seam_megapix=-1.0))
+        lo = _host_seam_masks(w_lo, m_lo, cfg_full, edges=edges)
+        # nearest upscale back to canvas resolution, re-bounded by the
+        # true coverage
+        yb = np.minimum((np.arange(Hc) * s).astype(np.int64), hs - 1)
+        xb = np.minimum((np.arange(Wc) * s).astype(np.int64), ws_ - 1)
+        res = lo[:, yb][:, :, xb] & np.asarray(masks)
+        # coarse-grid quantization at mask borders can leave covered
+        # pixels unowned — a seam split must PARTITION the coverage, so
+        # hand leftovers to the first image that covers them
+        un = np.asarray(masks).any(0) & ~res.any(0)
+        for i in range(n):
+            take = un & np.asarray(masks[i])
+            res[i] |= take
+            un &= ~take
+        return res
     if cfg.seam.kind == "graphcut":
         from imagestitch_tpu.seam.graphcut import graphcut_seam_pair
         if edges is None:

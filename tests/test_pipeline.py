@@ -106,6 +106,31 @@ def test_stitch_pair_all_seams(pair_front_192, seam_kind):
     assert pano[valid].std() > 20
 
 
+def test_host_seam_megapix(pair_front_192):
+    """cfg.seam.seam_megapix (OpenCV stitching_detailed's seam_megapix):
+    host seams resolved at reduced scale must still PARTITION the coverage
+    and land near the full-resolution cut."""
+    from imagestitch_tpu.pipeline import _host_seam_masks
+
+    warped, masks, shift = pair_front_192
+    w_np = np.asarray(warped)
+    m_np = np.asarray(masks)
+    cfg_full = FAST_CFG.replace(seam=SeamConfig(kind="graphcut"))
+    cfg_low = FAST_CFG.replace(
+        seam=SeamConfig(kind="graphcut", seam_megapix=0.01))
+
+    full = _host_seam_masks(w_np, m_np, cfg_full)
+    low = _host_seam_masks(w_np, m_np, cfg_low)
+
+    for res in (full, low):
+        # partition: every covered pixel owned by exactly one image
+        assert (res.sum(0) == m_np.any(0).astype(res.sum(0).dtype)).all()
+        assert (res[0] & res[1]).sum() == 0
+    # the coarse cut stays close to the full cut (same scene structure)
+    disagree = (full[0] ^ low[0]) & m_np.any(0)
+    assert disagree.mean() < 0.06
+
+
 def test_stitch_pair_plane_warp_reconstructs_scene():
     """With plane warp + pure translation the pano should reproduce the
     underlying wide scene almost exactly."""
