@@ -73,6 +73,10 @@ class MatcherConfig:
     num_matches_thresh2: int = 6  # min inliers to refit H on inliers
     max_matches: int = 512        # padded per-pair match capacity
     conf_thresh: float = 1.0      # pair kept if confidence > this (driver)
+    # OpenCV BestOf2NearestRangeMatcher: only match pairs with
+    # j - i <= range_width (ordered sequences; O(N*w) instead of O(N^2)
+    # pair programs). <= 0 matches all pairs (BestOf2NearestMatcher).
+    range_width: int = -1
 
 
 @dataclass(frozen=True)

@@ -157,11 +157,16 @@ def match_all(feats: ImageFeatures, key: jax.Array,
     (:131-142): a vmap over the static pair list, with per-pair keys folded
     from (i, j) so results are independent of evaluation order (the
     determinism idea of ref :71-75).
+
+    cfg.range_width > 0 restricts to pairs with j - i <= range_width
+    (OpenCV BestOf2NearestRangeMatcher: ordered sequences match O(N*w)
+    pairs instead of O(N^2)).
     """
     n = feats.xy.shape[0]
+    w = cfg.range_width if cfg.range_width > 0 else n
     pf, pt = [], []
     for i in range(n):
-        for j in range(i + 1, n):
+        for j in range(i + 1, min(i + w + 1, n)):
             pf.append(i)
             pt.append(j)
     pf = jnp.asarray(pf, jnp.int32)

@@ -106,6 +106,27 @@ def test_stitch_pair_all_seams(pair_front_192, seam_kind):
     assert pano[valid].std() > 20
 
 
+def test_range_matcher():
+    """MatcherConfig.range_width (OpenCV BestOf2NearestRangeMatcher):
+    an ordered 4-sequence with range_width=1 matches only the 3
+    consecutive pairs (vs 6 all-pairs) and still composes the pano."""
+    from imagestitch_tpu.pipeline import Stitcher
+
+    views, shift = synthetic_sequence(4, 160, 224, overlap=0.7, seed=11)
+    views = list(np.asarray(views))
+
+    import dataclasses
+    cfgr = ST_CFG.replace(
+        matcher=dataclasses.replace(ST_CFG.matcher, range_width=1))
+    pano, m = Stitcher(cfgr).stitch(views)
+    assert len(m["pair_confidences"]) == 3
+    assert all(m["reachable"])
+    assert pano.shape[1] > 224 + shift
+
+    pano_all, m_all = Stitcher(ST_CFG).stitch(views)
+    assert len(m_all["pair_confidences"]) == 6
+
+
 def test_host_seam_megapix(pair_front_192):
     """cfg.seam.seam_megapix (OpenCV stitching_detailed's seam_megapix):
     host seams resolved at reduced scale must still PARTITION the coverage
