@@ -30,6 +30,7 @@ def _build_config(args) -> "PipelineConfig":
         blend=BlendConfig(kind=args.blend),
         exposure=ExposureConfig(kind=args.exposure),
         work_megapix=args.work_megapix,
+        compose_megapix=args.compose_megapix,
     )
 
 
@@ -63,6 +64,11 @@ def main(argv=None):
         q.add_argument("--full_seam_components", action="store_true",
                        help="full DpSeamFinder component machinery on the "
                             "host (dp_* seam kinds)")
+        q.add_argument("--compose_megapix", type=float, default=-1.0,
+                       help="composite (warp/seam/blend) at this many "
+                            "megapixels in the N-image Stitcher "
+                            "(stitching_detailed compose_megapix; <=0: "
+                            "full resolution)")
         q.add_argument("--seam_megapix", type=float, default=-1.0,
                        help="resolve host seams (graphcut / full "
                             "components) at this many megapixels and "

@@ -180,6 +180,11 @@ class PipelineConfig:
     blend: BlendConfig = BlendConfig()
     # working scale: images are processed at full resolution by default
     work_megapix: float = -1.0
+    # compositing scale (OpenCV stitching_detailed compose_megapix):
+    # > 0 warps/seams/blends on inputs downscaled to ~this many megapixels
+    # (registration still honors work_megapix); <= 0 composes at full
+    # resolution. Host Stitcher path only.
+    compose_megapix: float = -1.0
     # chain resilience: also match skip pairs i -> i+2 in stitch_chain and
     # bridge a broken consecutive link through them (costs ~2x matching in
     # the chain program; the host Stitcher's MST routes around weak pairs

@@ -769,6 +769,27 @@ class Stitcher:
         dump("cameras", focal=cams.focal, R=cams.R, ppx=cams.ppx,
              ppy=cams.ppy)
 
+        # compositing scale (OpenCV stitching_detailed compose_megapix):
+        # registration above ran at work scale on full-res inputs; the
+        # composite below can run on downscaled inputs with cameras scaled
+        # to match — the pano comes out at compose scale
+        if cfg.compose_megapix > 0:
+            cs = min(1.0, float(np.sqrt(cfg.compose_megapix * 1e6
+                                        / (H * W))))
+        else:
+            cs = 1.0
+        if cs < 1.0:
+            Hcs = max(int(round(H * cs)), 1)
+            Wcs = max(int(round(W * cs)), 1)
+            imgs = jax.vmap(lambda im: jax.vmap(
+                lambda c: resize_linear_mxu(c, (Hcs, Wcs)),
+                in_axes=2, out_axes=2)(im))(imgs)
+            cams = _upscale_cameras(cams, cs)
+            if full_sizes is not None:
+                full_sizes = np.maximum(
+                    np.round(full_sizes * cs), 1).astype(np.int32)
+            H, W = Hcs, Wcs
+
         with timer.stage("warp"):
             scale = jnp.median(cams.focal)
             canvas_hw = _pano_canvas_shape((H, W), n, cfg)

@@ -127,6 +127,23 @@ def test_range_matcher():
     assert len(m_all["pair_confidences"]) == 6
 
 
+def test_compose_megapix():
+    """PipelineConfig.compose_megapix (stitching_detailed): registration
+    at full res, compositing at reduced scale — the pano comes out at
+    compose scale with the same relative geometry."""
+    from imagestitch_tpu.pipeline import Stitcher
+
+    views, shift = synthetic_sequence(4, 160, 224, overlap=0.7, seed=11)
+    views = list(np.asarray(views))
+
+    pano_full, mf = Stitcher(ST_CFG).stitch(views)
+    cfg = ST_CFG.replace(compose_megapix=160 * 224 / 4e6)  # ~half scale
+    pano_half, mh = Stitcher(cfg).stitch(views)
+    assert all(mh["reachable"])
+    ratio = pano_full.shape[1] / pano_half.shape[1]
+    assert 1.7 < ratio < 2.4
+
+
 def test_host_seam_megapix(pair_front_192):
     """cfg.seam.seam_megapix (OpenCV stitching_detailed's seam_megapix):
     host seams resolved at reduced scale must still PARTITION the coverage
