@@ -337,6 +337,26 @@ class TestEndToEnd:
         assert abs(pano.shape[1] - pano_cv.shape[1]) / pano_cv.shape[1] < 0.12
         assert abs(pano.shape[0] - pano_cv.shape[0]) / pano_cv.shape[0] < 0.12
 
+    def test_full_auto_n4_vs_cv2_stitcher(self):
+        """N-image full-auto: cv2.Stitcher on a 4-view pan sequence vs our
+        host Stitcher (all-pairs matching, MST cameras, tree-ordered
+        seams). Both must compose all four views into panos of agreeing
+        size (measured agreement ~3%/7%)."""
+        from imagestitch_tpu.pipeline import Stitcher
+        from imagestitch_tpu.config import PipelineConfig
+        from imagestitch_tpu.utils.io import synthetic_sequence
+
+        views, _ = synthetic_sequence(4, 240, 320, overlap=0.6, seed=5)
+        views = [np.asarray(v) for v in views]
+        st = cv2.Stitcher_create(cv2.Stitcher_PANORAMA)
+        status, pano_cv = st.stitch(
+            [cv2.cvtColor(v, cv2.COLOR_RGB2BGR) for v in views])
+        assert status == cv2.Stitcher_OK
+        pano, m = Stitcher(PipelineConfig()).stitch(views)
+        assert all(m["reachable"])
+        assert abs(pano.shape[1] - pano_cv.shape[1]) / pano_cv.shape[1] < 0.12
+        assert abs(pano.shape[0] - pano_cv.shape[0]) / pano_cv.shape[0] < 0.12
+
 
 class TestGain:
     def test_gain_solve_vs_opencv(self):
