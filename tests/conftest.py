@@ -68,6 +68,12 @@ def _bound_live_executables():
     distinct small programs and 400 distinct conv/scan programs both
     survive in one process (3.2 GB / 1.0 GB RSS), so plain executable
     count/footprint does NOT reproduce it — the trigger is specific to
-    this suite's giant fused stitch programs."""
+    this suite's giant fused stitch programs.
+
+    ISTPU_NO_CLEAR_CACHES=1 disables the workaround (experiment knob).
+    Last tried 2026-08-18 with the O0/vectorized-detector suite: the
+    no-clear run still dies mid-session with the faulthandler SIGSEGV
+    dump — the workaround remains load-bearing."""
     yield
-    jax.clear_caches()
+    if not os.environ.get("ISTPU_NO_CLEAR_CACHES"):
+        jax.clear_caches()
