@@ -127,6 +127,40 @@ def test_range_matcher():
     assert len(m_all["pair_confidences"]) == 6
 
 
+def test_kitchen_sink_config():
+    """Every non-default option at once — work_megapix registration,
+    compose_megapix compositing, gain_blocks exposure, graphcut host seam
+    at seam_megapix scale, multiband blend, range matcher, mixed input
+    sizes. Option interactions are where integration bugs live."""
+    import dataclasses
+    from imagestitch_tpu.pipeline import Stitcher
+    from imagestitch_tpu.config import (ExposureConfig, WarpConfig)
+
+    views, shift = synthetic_sequence(3, 192, 256, overlap=0.7, seed=11)
+    views = list(np.asarray(views))
+    views[2] = views[2][:176, :240]  # mixed sizes
+
+    cfg = PipelineConfig(
+        detector=FAST_CFG.detector,
+        matcher=dataclasses.replace(FAST_CFG.matcher, range_width=2),
+        ransac=FAST_CFG.ransac,
+        camera=CameraConfig(ba_refine=False),
+        warp=WarpConfig(kind="plane", canvas_scale_w=1.8,
+                        canvas_scale_h=1.4),
+        exposure=ExposureConfig(kind="gain_blocks"),
+        seam=SeamConfig(kind="graphcut", seam_megapix=0.02),
+        blend=BlendConfig(kind="multiband", num_bands=3),
+        work_megapix=0.03,
+        compose_megapix=0.035,
+    )
+    pano, m = Stitcher(cfg).stitch(views)
+    assert all(m["reachable"])
+    assert np.isfinite(pano).all()
+    # composited at reduced scale, still a 3-view panorama
+    assert pano.shape[1] > pano.shape[0]
+    assert pano[np.any(pano > 0, axis=-1)].std() > 15
+
+
 def test_compose_megapix():
     """PipelineConfig.compose_megapix (stitching_detailed): registration
     at full res, compositing at reduced scale — the pano comes out at
