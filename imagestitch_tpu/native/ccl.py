@@ -15,7 +15,11 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_HERE, "libccl.so")
+# the .so lives in a non-package subdir (no __init__.py) so import
+# machinery (pkgutil.walk_packages etc.) never mistakes it for a broken
+# Python extension module — it is a plain ctypes library
+_LIBDIR = os.path.join(_HERE, "_lib")
+_SO = os.path.join(_LIBDIR, "libccl.so")
 _SRC = os.path.join(_HERE, "ccl.cpp")
 _lock = threading.Lock()
 _lib = None
@@ -28,6 +32,7 @@ _SRC_SEAMDUAL = os.path.join(_HERE, "seamdual.cpp")
 
 def _build() -> bool:
     try:
+        os.makedirs(_LIBDIR, exist_ok=True)
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", _SRC, _SRC_MAXFLOW,
              _SRC_SEAMDUAL, "-o", _SO],
