@@ -176,6 +176,30 @@ def extras_bench(lat, extra):
         _log(f"  batched {label}: {B} pairs in {ms:.1f} ms")
     run("batched_vga", lambda: batched(32, 480, 640, "vga"))
     run("batched_1080p", lambda: batched(8, 1080, 1920, "1080p"))
+    # configs[4] stretch wording is "batched 4K"; 32x4K exceeds one chip's
+    # HBM, so record the largest 4K batch that fits (failure-isolated)
+    run("batched_4k", lambda: batched(4, 2160, 3840, "4k"))
+
+    # --- SIFT VGA pair (configs[0]: SIFT + BF + RANSAC + perspective warp
+    # + feather blend) -----------------------------------------------------
+    def sift_vga_pair():
+        from imagestitch_tpu.config import WarpConfig
+        cfg = PipelineConfig(
+            detector=DetectorConfig(kind="sift"),
+            warp=WarpConfig(kind="plane"))
+        i1, i2, _ = synthetic_pair(480, 640, overlap=0.4, seed=1)
+        a1 = jnp.asarray(i1, jnp.float32)
+        a2 = jnp.asarray(i2, jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def f(x, y, k, cfg):
+            p, v, c, mt = stitch_pair_impl(x, y, k, cfg=cfg)
+            return p.sum() + v.sum() + c.sum() + mt["num_inliers"]
+
+        ms = median_ms(lambda: float(f(a1, a2, key, cfg)), lat)
+        extra["sift_vga_pair_ms"] = round(ms, 2)
+        _log(f"  SIFT VGA pair (plane+feather): {ms:.1f} ms")
+    run("sift_vga_pair", sift_vga_pair)
 
     # --- N-image chains (configs[1], configs[3]) --------------------------
     def chain(n, H, W, label):
