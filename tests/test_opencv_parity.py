@@ -483,6 +483,32 @@ class TestBlendersAndSeams:
         psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
         assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
 
+    def test_wave_correct_vs_opencv(self):
+        """geometry.bundle.wave_correct vs cv2.detail.waveCorrect
+        (WAVE_CORRECT_HORIZ): same corrected rotations up to the global
+        sign ambiguity of the eigenvector (measured exact)."""
+        from imagestitch_tpu.geometry.bundle import wave_correct
+
+        def rot(yaw, pitch, roll):
+            cy, sy = np.cos(yaw), np.sin(yaw)
+            cp, sp = np.cos(pitch), np.sin(pitch)
+            cr, sr = np.cos(roll), np.sin(roll)
+            Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+            Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+            Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]])
+            return (Ry @ Rx @ Rz).astype(np.float32)
+
+        rng = np.random.default_rng(0)
+        Rs = [rot(0.3 * i - 0.45, 0.05 * rng.standard_normal(),
+                  0.08 + 0.02 * rng.standard_normal()) for i in range(4)]
+        cv_out = cv2.detail.waveCorrect([R.copy() for R in Rs],
+                                        cv2.detail.WAVE_CORRECT_HORIZ)
+        ours = np.asarray(wave_correct(jnp.asarray(np.stack(Rs))))
+        for i in range(4):
+            d = min(np.abs(ours[i] - cv_out[i]).max(),
+                    np.abs(ours[i] + cv_out[i]).max())
+            assert d < 1e-5
+
     def test_l1_distance_transform_vs_opencv(self):
         """Our scan-based L1 distance transform — the numeric core of the
         VoronoiSeamFinder — is EXACT vs cv2.distanceTransform(DIST_L1).
