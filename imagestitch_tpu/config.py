@@ -119,6 +119,10 @@ class WarpConfig:
     # "canvas_overflow" (raise these scales if it fires)
     canvas_scale_w: float = 2.1
     canvas_scale_h: float = 1.35
+    # Pallas warp kernel: per-slab-row horizontal rebase (tilt-factorized
+    # shift window; see ops/pallas_warp._warp_kernel). Default off pending
+    # TPU measurement (bench.py A/B-times both) — flip here once measured.
+    row_rebase: bool = False
 
 
 @dataclass(frozen=True)

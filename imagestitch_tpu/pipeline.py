@@ -280,7 +280,8 @@ def _warp_all_shared(images: jnp.ndarray, cams: CameraParams, scale,
         corners = jnp.broadcast_to(corner, (n, 2))
         warped, masks = pallas_warp_batched(
             images, k_rinvs, scale, corners, roi_uvs, (Hc, Wc),
-            cfg.warp.kind, src_sizes=src_sizes)
+            cfg.warp.kind, row_rebase=cfg.warp.row_rebase,
+            src_sizes=src_sizes)
         return warped, masks, corner, overflow, roi_uvs
 
     canvases, mask_list = [], []
