@@ -108,6 +108,75 @@ class TestHomography:
         assert _h_dist(H_ours, H_true, 400, 400) < 1e-2
 
 
+class TestMatcher:
+    def test_best_of_2_nearest_vs_opencv(self, rot_pair):
+        """Identical ORB keypoints+descriptors (cv2's own) through
+        cv2.detail.BestOf2NearestMatcher and our match_pair: match count,
+        inlier count, Brown–Lowe confidence, and the centered H must all
+        agree. cv2 matches via approximate FLANN-LSH, ours via exact Hamming
+        (matching/hamming.py), so counts differ by the LSH miss rate only.
+        Pins the ratio test, cross-check dedup, center normalization, and
+        confidence formula (ref 特征点匹配.cpp:154-229)."""
+        from imagestitch_tpu.matching.matcher import match_pair
+        from imagestitch_tpu.types import ImageFeatures
+
+        img1, img2, H_true, _ = rot_pair
+        finder = cv2.ORB_create(nfeatures=500)
+        features = [cv2.detail.computeImageFeatures2(finder, im)
+                    for im in (img1, img2)]
+        matcher = cv2.detail_BestOf2NearestMatcher(False, 0.3)
+        mi = matcher.apply2(features)[1]          # ordered pair (0 -> 1)
+
+        CAP = 512
+
+        def to_ours(feat, img):
+            kps, desc = feat.keypoints, feat.descriptors
+            if isinstance(desc, cv2.UMat):
+                desc = desc.get()
+            n = len(kps)
+            xy = np.zeros((CAP, 2), np.float32)
+            xy[:n] = [k.pt for k in kps]
+            bits = np.zeros((CAP, 256), np.uint8)
+            # unpackbits preserves pairwise Hamming distances exactly
+            bits[:n] = np.unpackbits(np.asarray(desc, np.uint8), axis=1)
+            h, w = img.shape[:2]
+            return ImageFeatures(
+                xy=jnp.asarray(xy),
+                response=jnp.zeros((CAP,), jnp.float32),
+                angle=jnp.zeros((CAP,), jnp.float32),
+                size=jnp.zeros((CAP,), jnp.float32),
+                level=jnp.zeros((CAP,), jnp.int32),
+                valid=jnp.asarray(np.arange(CAP) < n),
+                descriptors=jnp.asarray(bits),
+                img_size=jnp.asarray([h, w], jnp.int32))
+
+        res = match_pair(to_ours(features[0], img1),
+                         to_ours(features[1], img2), jax.random.key(0))
+        assert bool(res.h_valid)
+        n_cv, n_ours = len(mi.matches), int(res.num_matches())
+        assert abs(n_ours - n_cv) <= 0.08 * n_cv
+        assert abs(int(res.num_inliers) - mi.num_inliers) \
+            <= 0.08 * mi.num_inliers
+        assert abs(float(res.confidence) - mi.confidence) < 0.1
+
+        # both H's live in the center-normalized frame (ref :170-178)
+        h, w = img1.shape[:2]
+        T = np.array([[1, 0, -w / 2], [0, 1, -h / 2], [0, 0, 1.0]])
+        Hc_true = T @ H_true @ np.linalg.inv(T)
+        H_ours = np.asarray(res.H, np.float64)
+        H_cv = np.asarray(mi.H)
+        pts = (np.array([[0, 0], [w, 0], [0, h], [w, h]], np.float64)
+               - np.array([w / 2, h / 2]))
+        q = np.concatenate([pts, np.ones((4, 1))], 1)
+
+        def ap(H):
+            r = q @ H.T
+            return r[:, :2] / r[:, 2:]
+
+        assert np.abs(ap(H_ours) - ap(H_cv)).max() < 1.5
+        assert np.abs(ap(H_ours) - ap(Hc_true)).max() < 1.5
+
+
 class TestFocal:
     def test_focal_from_homography_ground_truth(self, rot_pair):
         """Our closed form recovers the EXACT ground-truth focal from the
