@@ -20,7 +20,8 @@ import sys
 
 def _build_config(args) -> "PipelineConfig":
     from imagestitch_tpu.config import (
-        PipelineConfig, WarpConfig, SeamConfig, BlendConfig, ExposureConfig)
+        PipelineConfig, WarpConfig, SeamConfig, BlendConfig, ExposureConfig,
+        CameraConfig)
     cfg = PipelineConfig()
     return cfg.replace(
         warp=WarpConfig(kind=args.warp),
@@ -29,6 +30,7 @@ def _build_config(args) -> "PipelineConfig":
                         seam_megapix=args.seam_megapix),
         blend=BlendConfig(kind=args.blend),
         exposure=ExposureConfig(kind=args.exposure),
+        camera=CameraConfig(ba_kind=args.ba),
         work_megapix=args.work_megapix,
         compose_megapix=args.compose_megapix,
     )
@@ -55,7 +57,12 @@ def main(argv=None):
         q.add_argument("--blend", default="feather",
                        choices=["feather", "multiband", "ramp", "none"])
         q.add_argument("--exposure", default="gain",
-                       choices=["gain", "gain_blocks", "none"])
+                       choices=["gain", "gain_blocks", "channels",
+                                "channels_blocks", "none"])
+        q.add_argument("--ba", default="ray", choices=["ray", "reproj"],
+                       help="bundle adjuster: ray (BundleAdjusterRay, the "
+                            "reference driver) or reproj "
+                            "(BundleAdjusterReproj)")
         q.add_argument("--work_megapix", type=float, default=-1.0,
                        help="registration at this many megapixels "
                             "(<=0: full resolution), compositing at full "

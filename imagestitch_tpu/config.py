@@ -102,6 +102,7 @@ class CameraConfig:
     stock BundleAdjusterRay at 特征点检测.cpp:1064-1067)."""
 
     ba_refine: bool = True
+    ba_kind: str = "ray"          # ray (ref driver) | reproj (OpenCV alt)
     ba_iters: int = 25
     ba_conf_thresh: float = 1.0   # ref conf_thresh = 1
     wave_correct: bool = False    # present but commented out in ref (:1071-1077)
@@ -130,8 +131,10 @@ class ExposureConfig:
     """Gain exposure compensation (stock ExposureCompensator::GAIN,
     ref 特征点检测.cpp:1114-1121)."""
 
-    kind: str = "gain"            # gain|gain_blocks|none
-    block_size: int = 32          # gain_blocks cell size (OpenCV default)
+    # gain|gain_blocks|channels|channels_blocks|none — the channels kinds
+    # are OpenCV's CHANNELS/CHANNELS_BLOCKS (per-color-channel gains)
+    kind: str = "gain"
+    block_size: int = 32          # *_blocks cell size (OpenCV default)
 
 
 @dataclass(frozen=True)

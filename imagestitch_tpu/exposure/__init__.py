@@ -1,3 +1,6 @@
-from imagestitch_tpu.exposure.gain import gain_compensate
+from imagestitch_tpu.exposure.gain import (
+    gain_compensate, gain_compensate_blocks,
+    channels_compensate, channels_compensate_blocks)
 
-__all__ = ["gain_compensate"]
+__all__ = ["gain_compensate", "gain_compensate_blocks",
+           "channels_compensate", "channels_compensate_blocks"]

@@ -8,10 +8,20 @@ per image minimizing, over all overlapping pairs,
    Σ_ij N_ij [ α (g_i Ī_ij − g_j Ī_ji)² + β (1 − g_i)² ]
 
 (α = error weight 0.01, β = prior weight 100 — OpenCV's constants), solved
-as an N×N linear system. Only i≠j pairs contribute: measured against
-cv2 5.0's GainCompensator (tests/test_opencv_parity.py), the self pair
-i==j contributes NOTHING — adding a β·area_i self prior (as round-1 advice
-suggested) shifts the gains by >10% away from OpenCV's.
+as an N×N linear system. The exact OpenCV accumulation, reverse-engineered
+against cv2 5.0 on constant/partial-mask/per-channel fixtures (all three
+match to the probe's quantization):
+  - per-pixel intensity = the L2 NORM of the color vector √(r²+g²+b²)
+    (NOT a gray conversion; for single-channel feeds it degenerates to |v|);
+  - the pair loop INCLUDES the self pair for the prior terms only:
+    b_i += β·area_i and A_ii += β·area_i with area_i = |mask_i| (the i==j
+    "overlap" is the whole image), alongside the β·N_ij of real pairs;
+  - α terms carry factor 2, i≠j only.
+An earlier round concluded the self pair "contributes nothing" — that was
+an artifact of gray-vs-L2 intensity: on equal-channel fixtures the √3
+intensity scaling of the L2 norm almost exactly offsets the self-β prior,
+so gray-without-self coincided with cv2 to <0.02 while both ingredients
+were individually wrong.
 
 Overlap statistics are computed entirely on device. The pair loop is
 UNROLLED in Python over the (small, static) image count: a vmapped
@@ -26,7 +36,6 @@ import jax
 import jax.numpy as jnp
 
 from imagestitch_tpu.blend.frame import shift_to_frame
-from imagestitch_tpu.ops.image import rgb_to_gray
 
 
 def gain_compensate(images: jnp.ndarray, masks: jnp.ndarray,
@@ -45,7 +54,10 @@ def gain_compensate(images: jnp.ndarray, masks: jnp.ndarray,
         return jnp.ones((1,), jnp.float32), images
 
     m = masks.astype(jnp.float32)
-    grays = rgb_to_gray(images) if images.ndim == 4 else images  # (N, H, W)
+    # OpenCV intensity: per-pixel L2 norm of the color vector (|v| for
+    # single-channel feeds — channels_compensate passes those)
+    grays = (jnp.sqrt(jnp.sum(images * images, axis=-1))
+             if images.ndim == 4 else jnp.abs(images))       # (N, H, W)
 
     # one (N, N) stats pass, unrolled over unordered pairs
     zero = jnp.float32(0.0)
@@ -68,22 +80,40 @@ def gain_compensate(images: jnp.ndarray, masks: jnp.ndarray,
     s_p = jnp.stack([jnp.stack(r) for r in s_mat])          # (N, N)
     I = s_p / jnp.maximum(n_p, 1.0)                         # Ī_ij
 
-    # OpenCV GainCompensator accumulation (exposure_compensate.cpp), over
-    # j ≠ i only (self pairs verified to contribute nothing, see module doc):
-    #   b_i    += β N_ij
-    #   A_ii   += β N_ij + 2α Ī_ij² N_ij
+    # OpenCV GainCompensator accumulation (exposure_compensate.cpp): the
+    # j loop includes j==i for the β prior (N_ii = whole-mask area), α
+    # terms are j ≠ i with factor 2 (see module doc):
+    #   b_i    += β N_ij          (all j, incl. self)
+    #   A_ii   += β N_ij          (all j) + 2α Ī_ij² N_ij (j ≠ i)
     #   A_ij   -= 2α Ī_ij Ī_ji N_ij
+    areas = jnp.sum(m, axis=(1, 2))                          # N_ii
     off = 1.0 - jnp.eye(N, dtype=jnp.float32)
-    b = beta * jnp.sum(n_p, axis=1)
-    diag = (beta * jnp.sum(n_p, axis=1)
+    b = beta * (jnp.sum(n_p, axis=1) + areas)
+    diag = (beta * (jnp.sum(n_p, axis=1) + areas)
             + 2.0 * alpha * jnp.sum(I * I * n_p * off, axis=1))
     A = jnp.diag(diag) - 2.0 * alpha * I * I.T * n_p * off
 
     gains = jnp.linalg.solve(A, b)
     gains = jnp.where(jnp.all(jnp.isfinite(gains)), gains,
                       jnp.ones_like(gains))
-    out = images * gains[:, None, None, None]
-    return gains, out
+    scale = gains[:, None, None, None] if images.ndim == 4 \
+        else gains[:, None, None]
+    return gains, images * scale
+
+
+def channels_compensate(images: jnp.ndarray, masks: jnp.ndarray,
+                        corners: jnp.ndarray, alpha: float = 0.01,
+                        beta: float = 100.0, shared_frame: bool = False):
+    """Per-channel gains (OpenCV ChannelsCompensator, CHANNELS): the
+    Brown-Lowe single-gain system solved independently on each color
+    channel — cv2's exposure_compensate.cpp runs one GainCompensator per
+    split channel, where the 1-channel "intensity" is the channel value
+    itself. Returns (gains (N, C), images * gains)."""
+    C = images.shape[-1]
+    gains = jnp.stack([gain_compensate(images[..., c], masks, corners,
+                                       alpha, beta, shared_frame)[0]
+                       for c in range(C)], axis=-1)          # (N, C)
+    return gains, images * gains[:, None, None, :]
 
 
 def gain_compensate_blocks(images: jnp.ndarray, masks: jnp.ndarray,
@@ -107,7 +137,8 @@ def gain_compensate_blocks(images: jnp.ndarray, masks: jnp.ndarray,
     if N == 1:
         return jnp.ones((1, H, W), jnp.float32), images
     m = masks.astype(jnp.float32)
-    grays = rgb_to_gray(images) if images.ndim == 4 else images
+    grays = (jnp.sqrt(jnp.sum(images * images, axis=-1))
+             if images.ndim == 4 else jnp.abs(images))
 
     By = -(-H // block)
     Bx = -(-W // block)
@@ -135,17 +166,22 @@ def gain_compensate_blocks(images: jnp.ndarray, masks: jnp.ndarray,
     s_p = jnp.moveaxis(s_p, -1, 0)
     I = s_p / jnp.maximum(n_p, 1.0)
 
+    # per-(image, cell) self area: the β prior of the (N·B)² system's self
+    # pairs (see gain_compensate — the block system block-diagonalizes)
+    areas = jnp.stack([blocksum(m[i]).reshape(-1) for i in range(N)])
+    areas = jnp.moveaxis(areas, -1, 0)                      # (B, N)
+
     off = (1.0 - jnp.eye(N, dtype=jnp.float32))[None]
-    b = beta * jnp.sum(n_p, axis=2)                         # (B, N)
-    diag = (beta * jnp.sum(n_p, axis=2)
+    b = beta * (jnp.sum(n_p, axis=2) + areas)               # (B, N)
+    diag = (beta * (jnp.sum(n_p, axis=2) + areas)
             + 2.0 * alpha * jnp.sum(I * I * n_p * off, axis=2))
     A = (jax.vmap(jnp.diag)(diag)
          - 2.0 * alpha * I * jnp.swapaxes(I, 1, 2) * n_p * off)
-    # cells with no overlap anywhere have singular systems -> identity gain
+    # cells with no mask pixels at all have singular systems -> unit gain
+    # (cells with mask but no overlap get exactly 1 from the prior alone)
     ridge = 1e-6 * jnp.eye(N, dtype=jnp.float32)[None]
     gains = jnp.linalg.solve(A + ridge, b[..., None])[..., 0]   # (B, N)
-    gains = jnp.where(jnp.isfinite(gains) & (jnp.sum(n_p, 2) > 0),
-                      gains, 1.0)
+    gains = jnp.where(jnp.isfinite(gains) & (areas > 0), gains, 1.0)
     gmap = jnp.moveaxis(gains.reshape(By, Bx, N), -1, 0)    # (N, By, Bx)
 
     # 3x3 binomial smoothing (OpenCV's Gaussian kernel on the gain map)
@@ -159,3 +195,16 @@ def gain_compensate_blocks(images: jnp.ndarray, masks: jnp.ndarray,
     up = up[:, :H, :W]
     out = images * (up[..., None] if images.ndim == 4 else up)
     return up, out
+
+
+def channels_compensate_blocks(images: jnp.ndarray, masks: jnp.ndarray,
+                               block: int = 32, alpha: float = 0.01,
+                               beta: float = 100.0, smooth_iters: int = 1):
+    """Per-channel per-block gains (OpenCV BlocksChannelsCompensator,
+    CHANNELS_BLOCKS): the block gain-map machinery applied to each color
+    channel independently. Returns (gain maps (N, H, W, C), compensated)."""
+    C = images.shape[-1]
+    maps = jnp.stack([gain_compensate_blocks(images[..., c], masks, block,
+                                             alpha, beta, smooth_iters)[0]
+                      for c in range(C)], axis=-1)           # (N, H, W, C)
+    return maps, images * maps

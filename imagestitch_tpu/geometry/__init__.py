@@ -12,7 +12,8 @@ from imagestitch_tpu.geometry.rotation import (
     estimate_cameras,
     estimate_cameras_host,
 )
-from imagestitch_tpu.geometry.bundle import bundle_adjust_ray, wave_correct
+from imagestitch_tpu.geometry.bundle import (
+    bundle_adjust, bundle_adjust_ray, bundle_adjust_reproj, wave_correct)
 
 __all__ = [
     "dlt_homography",
@@ -27,6 +28,8 @@ __all__ = [
     "max_spanning_tree",
     "estimate_cameras",
     "estimate_cameras_host",
+    "bundle_adjust",
     "bundle_adjust_ray",
+    "bundle_adjust_reproj",
     "wave_correct",
 ]

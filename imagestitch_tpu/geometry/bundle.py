@@ -59,6 +59,50 @@ def _rays(params_i: jnp.ndarray, pts: jnp.ndarray, ppx, ppy) -> jnp.ndarray:
     return rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
 
 
+def _lm_minimize(residuals, x0: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """Levenberg–Marquardt on a dense residual vector. Shared by the ray
+    and reprojection adjusters: the parameter vector is tiny (4-7 per
+    camera) while the residual set is large, so jacfwd + damped normal
+    equations in one jitted while_loop is the right shape on TPU."""
+
+    def err_of(x):
+        r = residuals(x)
+        return jnp.sum(r * r)
+
+    jac = jax.jacfwd(residuals)
+
+    def cond(state):
+        i, x, lam, err, done = state
+        return (i < iters) & jnp.logical_not(done)
+
+    def body(state):
+        i, x, lam, err, _ = state
+        r = residuals(x)
+        J = jac(x)                                                # (M, P)
+        A = J.T @ J
+        g = J.T @ r
+        D = jnp.diag(jnp.maximum(jnp.diag(A), 1e-8))
+        dx = jnp.linalg.solve(A + lam * D, g)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        x_try = x - dx
+        e_try = err_of(x_try)
+        accept = e_try < err
+        # converged: an accepted step improved the error by < 1e-6 relative,
+        # or damping has blown up (no direction helps)
+        done = (accept & (err - e_try < 1e-6 * (err + 1e-20))) | (lam > 1e8)
+        return (i + 1,
+                jnp.where(accept, x_try, x),
+                jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0),
+                         1e-10, 1e10),
+                jnp.where(accept, e_try, err),
+                done)
+
+    _, xf, _, _, _ = lax.while_loop(
+        cond, body,
+        (jnp.int32(0), x0, jnp.float32(1e-3), err_of(x0), jnp.bool_(False)))
+    return xf
+
+
 def bundle_adjust_ray(cameras: CameraParams,
                       src_pts: jnp.ndarray, dst_pts: jnp.ndarray,
                       pt_valid: jnp.ndarray,
@@ -96,40 +140,7 @@ def bundle_adjust_ray(cameras: CameraParams,
         r = (rays_i - rays_j) * scale * m[..., None]
         return r.reshape(-1)
 
-    def err_of(x):
-        r = residuals(x)
-        return jnp.sum(r * r)
-
-    jac = jax.jacfwd(residuals)
-
-    def cond(state):
-        i, x, lam, err, done = state
-        return (i < iters) & jnp.logical_not(done)
-
-    def body(state):
-        i, x, lam, err, _ = state
-        r = residuals(x)
-        J = jac(x)                                                # (M, 4N)
-        A = J.T @ J
-        g = J.T @ r
-        D = jnp.diag(jnp.maximum(jnp.diag(A), 1e-8))
-        dx = jnp.linalg.solve(A + lam * D, g)
-        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
-        x_try = x - dx
-        e_try = err_of(x_try)
-        accept = e_try < err
-        # converged: an accepted step improved the error by < 1e-6 relative,
-        # or damping has blown up (no direction helps)
-        done = (accept & (err - e_try < 1e-6 * (err + 1e-20))) | (lam > 1e8)
-        return (i + 1,
-                jnp.where(accept, x_try, x),
-                jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e10),
-                jnp.where(accept, e_try, err),
-                done)
-
-    _, xf, _, _, _ = lax.while_loop(
-        cond, body,
-        (jnp.int32(0), x0, jnp.float32(1e-3), err_of(x0), jnp.bool_(False)))
+    xf = _lm_minimize(residuals, x0, iters)
     pf = xf.reshape(N, 4)
     Rf = jax.vmap(rodrigues_to_R)(pf[:, 1:4])
     # Gauge fix: the ray residuals are invariant under a global rotation, so
@@ -138,6 +149,79 @@ def bundle_adjust_ray(cameras: CameraParams,
     G = cameras.R[0] @ Rf[0].T
     Rf = jnp.einsum("ab,nbc->nac", G, Rf)
     return cameras.replace(focal=jnp.abs(pf[:, 0]), R=Rf)
+
+
+def bundle_adjust_reproj(cameras: CameraParams,
+                         src_pts: jnp.ndarray, dst_pts: jnp.ndarray,
+                         pt_valid: jnp.ndarray,
+                         pair_from: jnp.ndarray, pair_to: jnp.ndarray,
+                         pair_valid: jnp.ndarray,
+                         iters: int = 25) -> CameraParams:
+    """Refine cameras by minimizing pixel reprojection error (OpenCV's
+    BundleAdjusterReproj, the alternative to the reference driver's
+    BundleAdjusterRay, ref 特征点检测.cpp:1064).
+
+    Same input contract as bundle_adjust_ray. Per-camera parameters follow
+    OpenCV's 7: (focal, ppx, ppy, aspect, 3-vector Rodrigues rotation).
+    Residual per correspondence (p in image i, q in image j), 2 components:
+
+        proj( K_j · R_jᵀ · R_i · K_i⁻¹ · [p, 1] ) − q
+
+    (the rotation-only transfer map between the two pinhole cameras; like
+    the ray error it is invariant under a global rotation, so camera 0 is
+    re-anchored after the solve).
+    """
+    N = cameras.focal.shape[0]
+    r0 = jax.vmap(R_to_rodrigues)(cameras.R)                     # (N, 3)
+    x0 = jnp.concatenate([cameras.focal[:, None],
+                          cameras.ppx[:, None], cameras.ppy[:, None],
+                          cameras.aspect[:, None], r0], axis=1).reshape(-1)
+    m = (pt_valid & pair_valid[:, None]).astype(jnp.float32)     # (P, T)
+
+    def transfer(params_i, params_j, pts):
+        """Map pixels of camera i into camera j. pts: (T, 2) -> (T, 2)."""
+        fi, pxi, pyi, ai = params_i[0], params_i[1], params_i[2], params_i[3]
+        fj, pxj, pyj, aj = params_j[0], params_j[1], params_j[2], params_j[3]
+        Ri = rodrigues_to_R(params_i[4:7])
+        Rj = rodrigues_to_R(params_j[4:7])
+        # K_i^{-1} p
+        x = (pts[:, 0] - pxi) / fi
+        y = (pts[:, 1] - pyi) / (fi * ai)
+        d = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+        w = (d @ Ri.T) @ Rj                                      # R_jᵀ R_i d
+        z = jnp.where(jnp.abs(w[:, 2]) < 1e-8, 1e-8, w[:, 2])
+        u = fj * w[:, 0] / z + pxj
+        v = fj * aj * w[:, 1] / z + pyj
+        return jnp.stack([u, v], axis=-1)
+
+    def residuals(x):
+        p = x.reshape(N, 7)
+        pred = jax.vmap(
+            lambda pf_, pt_, pts: transfer(p[pf_], p[pt_], pts),
+            in_axes=(0, 0, 0))(pair_from, pair_to, src_pts)      # (P, T, 2)
+        r = (pred - dst_pts) * m[..., None]
+        return r.reshape(-1)
+
+    xf = _lm_minimize(residuals, x0, iters)
+    pf = xf.reshape(N, 7)
+    Rf = jax.vmap(rodrigues_to_R)(pf[:, 4:7])
+    G = cameras.R[0] @ Rf[0].T
+    Rf = jnp.einsum("ab,nbc->nac", G, Rf)
+    return cameras.replace(focal=jnp.abs(pf[:, 0]), ppx=pf[:, 1],
+                           ppy=pf[:, 2], aspect=jnp.abs(pf[:, 3]), R=Rf)
+
+
+def bundle_adjust(cameras: CameraParams,
+                  src_pts: jnp.ndarray, dst_pts: jnp.ndarray,
+                  pt_valid: jnp.ndarray,
+                  pair_from: jnp.ndarray, pair_to: jnp.ndarray,
+                  pair_valid: jnp.ndarray,
+                  iters: int = 25, kind: str = "ray") -> CameraParams:
+    """Bundle-adjuster dispatch: kind = "ray" (the reference driver's
+    BundleAdjusterRay) or "reproj" (OpenCV's BundleAdjusterReproj)."""
+    fn = {"ray": bundle_adjust_ray, "reproj": bundle_adjust_reproj}[kind]
+    return fn(cameras, src_pts, dst_pts, pt_valid,
+              pair_from, pair_to, pair_valid, iters)
 
 
 def wave_correct(R: jnp.ndarray, kind: str = "horiz") -> jnp.ndarray:

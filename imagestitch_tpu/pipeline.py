@@ -30,10 +30,11 @@ from imagestitch_tpu.features import detect as detect_features
 from imagestitch_tpu.matching.matcher import match_pair, match_all
 from imagestitch_tpu.geometry.rotation import (
     estimate_cameras, estimate_cameras_host, estimate_cameras_spliced)
-from imagestitch_tpu.geometry.bundle import bundle_adjust_ray, wave_correct
+from imagestitch_tpu.geometry.bundle import bundle_adjust, wave_correct
 from imagestitch_tpu.warp.warper import warp_image, roi_bounds
 from imagestitch_tpu.exposure.gain import (
-    gain_compensate, gain_compensate_blocks)
+    gain_compensate, gain_compensate_blocks,
+    channels_compensate, channels_compensate_blocks)
 from imagestitch_tpu.seam.dp import dp_seam_pair
 from imagestitch_tpu.seam.voronoi import voronoi_seam_pair
 from imagestitch_tpu.blend.feather import feather_blend
@@ -58,6 +59,13 @@ def _apply_exposure(warped: jnp.ndarray, masks: jnp.ndarray,
     elif cfg.exposure.kind == "gain_blocks":
         _, warped = gain_compensate_blocks(warped, masks,
                                            cfg.exposure.block_size)
+    elif cfg.exposure.kind == "channels":
+        zero_corners = jnp.zeros((n, 2), jnp.int32)
+        _, warped = channels_compensate(warped, masks, zero_corners,
+                                        shared_frame=True)
+    elif cfg.exposure.kind == "channels_blocks":
+        _, warped = channels_compensate_blocks(warped, masks,
+                                               cfg.exposure.block_size)
     return warped
 
 
@@ -352,11 +360,11 @@ def stitch_pair_front_impl(img1: jnp.ndarray, img2: jnp.ndarray,
         src_pts = f1.xy[mi.pairs[:, 0]][None]
         dst_pts = f2.xy[mi.pairs[:, 1]][None]
         ptv = (mi.inliers & mi.valid)[None]
-        cams = bundle_adjust_ray(
+        cams = bundle_adjust(
             cams, src_pts, dst_pts, ptv,
             jnp.asarray([0], jnp.int32), jnp.asarray([1], jnp.int32),
             (mi.confidence > cfg.camera.ba_conf_thresh)[None],
-            cfg.camera.ba_iters)
+            cfg.camera.ba_iters, cfg.camera.ba_kind)
     if cfg.camera.wave_correct:
         cams = cams.replace(R=wave_correct(cams.R))
     if ws < 1.0:
@@ -482,11 +490,11 @@ def stitch_chain_front_impl(imgs: jnp.ndarray, key: jax.Array,
             mis_ba.src_idx, mis_ba.pairs)
         dst_pts = jax.vmap(lambda j, p: feats.xy[j][p[:, 1]])(
             mis_ba.dst_idx, mis_ba.pairs)
-        cams = bundle_adjust_ray(
+        cams = bundle_adjust(
             cams, src_pts, dst_pts, mis_ba.inliers & mis_ba.valid,
             mis_ba.src_idx, mis_ba.dst_idx,
             (mis_ba.confidence > cfg.camera.ba_conf_thresh) & mis_ba.h_valid,
-            cfg.camera.ba_iters)
+            cfg.camera.ba_iters, cfg.camera.ba_kind)
     if cfg.camera.wave_correct:
         cams = cams.replace(R=wave_correct(cams.R))
     if ws < 1.0:
@@ -758,10 +766,11 @@ class Stitcher:
                     ms.src_idx, ms.pairs)
                 dst_pts = jax.vmap(lambda j, p: feats.xy[j][p[:, 1]])(
                     ms.dst_idx, ms.pairs)
-                cams = bundle_adjust_ray(
+                cams = bundle_adjust(
                     cams, src_pts, dst_pts, ms.inliers & ms.valid,
                     ms.src_idx, ms.dst_idx,
-                    jnp.asarray(keep) & ms.h_valid, cfg.camera.ba_iters)
+                    jnp.asarray(keep) & ms.h_valid,
+                    cfg.camera.ba_iters, cfg.camera.ba_kind)
                 jax.block_until_ready(cams.R)
         if cfg.camera.wave_correct:
             cams = cams.replace(R=wave_correct(cams.R))

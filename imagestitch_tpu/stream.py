@@ -32,7 +32,7 @@ from imagestitch_tpu.pipeline import (
     _upscale_cameras, blend_resolved)
 from imagestitch_tpu.ops.image import rgb_to_gray
 from imagestitch_tpu.geometry.rotation import estimate_cameras_host
-from imagestitch_tpu.geometry.bundle import bundle_adjust_ray, wave_correct
+from imagestitch_tpu.geometry.bundle import bundle_adjust, wave_correct
 from imagestitch_tpu.seam.dp import dp_seam_pair
 from imagestitch_tpu.seam.voronoi import voronoi_seam_pair
 
@@ -90,10 +90,10 @@ class StreamStitcher:
                 ms.src_idx, ms.pairs)
             dst_pts = jax.vmap(lambda j, p: feats.xy[j][p[:, 1]])(
                 ms.dst_idx, ms.pairs)
-            cams = bundle_adjust_ray(
+            cams = bundle_adjust(
                 cams, src_pts, dst_pts, ms.inliers & ms.valid,
                 ms.src_idx, ms.dst_idx, jnp.asarray(keep) & ms.h_valid,
-                cfg.camera.ba_iters)
+                cfg.camera.ba_iters, cfg.camera.ba_kind)
         if cfg.camera.wave_correct:
             cams = cams.replace(R=wave_correct(cams.R))
         if ws < 1.0:

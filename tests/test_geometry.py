@@ -273,6 +273,52 @@ def test_bundle_adjust_reduces_ray_error():
     assert abs(float(out.focal[0]) - focal) / focal < 0.05
 
 
+def test_bundle_adjust_reproj_recovers_cameras():
+    """Same two-camera fixture as the ray test through the reprojection
+    adjuster (OpenCV BundleAdjusterReproj): the relative rotation and the
+    focal must be recovered from perturbed initial cameras by minimizing
+    pixel transfer error (7 params/camera: f, ppx, ppy, aspect, Rodrigues)."""
+    from imagestitch_tpu.geometry.bundle import bundle_adjust_reproj
+
+    rng = np.random.default_rng(9)
+    focal = 600.0
+    Rtrue = _rotation_y(0.12)
+    K = np.diag([focal, focal, 1.0])
+    pts0 = rng.uniform(-200, 200, (64, 2))
+    H = K @ Rtrue @ np.linalg.inv(K)
+
+    def proj(H, p):
+        q = np.concatenate([p, np.ones((len(p), 1))], 1) @ H.T
+        return q[:, :2] / q[:, 2:3]
+
+    pts1 = proj(np.linalg.inv(H), pts0)
+
+    from imagestitch_tpu.types import CameraParams
+    R_init = np.stack([np.eye(3), _rotation_y(0.10)])
+    cams = CameraParams(
+        focal=jnp.full((2,), focal * 1.06, jnp.float32),
+        aspect=jnp.ones((2,), jnp.float32),
+        ppx=jnp.zeros((2,), jnp.float32), ppy=jnp.zeros((2,), jnp.float32),
+        R=jnp.asarray(R_init, jnp.float32), t=jnp.zeros((2, 3), jnp.float32))
+
+    out = bundle_adjust_reproj(
+        cams, jnp.asarray(pts0[None], jnp.float32),
+        jnp.asarray(pts1[None], jnp.float32), jnp.ones((1, 64), bool),
+        jnp.asarray([0]), jnp.asarray([1]), jnp.ones(1, bool), iters=40)
+    R_rel = np.asarray(out.R[0]).T @ np.asarray(out.R[1])
+    assert np.allclose(R_rel, Rtrue, atol=2e-2)
+    # the residual transfer error must be ~zero after refinement
+    f0, f1v = float(out.focal[0]), float(out.focal[1])
+    K0 = np.diag([f0, f0 * float(out.aspect[0]), 1.0])
+    K0[0, 2], K0[1, 2] = float(out.ppx[0]), float(out.ppy[0])
+    K1 = np.diag([f1v, f1v * float(out.aspect[1]), 1.0])
+    K1[0, 2], K1[1, 2] = float(out.ppx[1]), float(out.ppy[1])
+    M = K1 @ np.asarray(out.R[1]).T @ np.asarray(out.R[0]) \
+        @ np.linalg.inv(K0)
+    err = np.abs(proj(M, pts0) - pts1).max()
+    assert err < 0.5
+
+
 def test_wave_correct_identity_set():
     R = jnp.tile(jnp.eye(3)[None], (3, 1, 1))
     out = np.asarray(wave_correct(R))

@@ -460,8 +460,93 @@ class TestGain:
             jnp.asarray(np.stack([m1 > 0, m2 > 0])),
             jnp.zeros((2, 2), jnp.int32), shared_frame=True)
         ours = np.asarray(gains)
-        # cv gains read back through a uint8 probe: 1/200 quantization
-        assert np.abs(ours - np.asarray(cv_gains)).max() < 0.02
+        # exact model match; cv gains read back through a uint8 probe
+        # quantize at 1/200, float32 stats add a little
+        assert np.abs(ours - np.asarray(cv_gains)).max() < 0.01
+
+    def test_channels_vs_opencv(self):
+        """cv2.detail ChannelsCompensator vs channels_compensate on a
+        2-image overlap with per-channel attenuations (0.5/0.7/0.9): each
+        channel's gain system is independent."""
+        from imagestitch_tpu.exposure.gain import channels_compensate
+
+        rng = np.random.default_rng(0)
+        H, W = 64, 48
+        g = rng.uniform(60, 200, (H, W)).astype(np.float32)
+        img1 = np.repeat(np.clip(g, 0, 255).astype(np.uint8)[..., None],
+                         3, -1)
+        att = np.array([0.5, 0.7, 0.9], np.float32)
+        img2 = np.clip(g[..., None] * att, 0, 255).astype(np.uint8)
+        m1 = np.zeros((H, W), np.uint8)
+        m1[:, :32] = 255
+        m2 = np.zeros((H, W), np.uint8)
+        m2[:, 16:] = 255
+
+        comp = cv2.detail.ExposureCompensator_createDefault(
+            cv2.detail.ExposureCompensator_CHANNELS)
+        comp.feed(corners=[(0, 0), (0, 0)], images=[img1, img2],
+                  masks=[m1, m2])
+        cv_gains = []
+        probe = np.full((H, W, 3), 200, np.uint8)
+        for i in range(2):
+            p = probe.copy()
+            comp.apply(i, (0, 0), p, m1 if i == 0 else m2)
+            cv_gains.append(p[0, 0].astype(np.float64) / 200.0)
+
+        gains, _ = channels_compensate(
+            jnp.asarray(np.stack([img1, img2]), jnp.float32),
+            jnp.asarray(np.stack([m1 > 0, m2 > 0])),
+            jnp.zeros((2, 2), jnp.int32), shared_frame=True)
+        ours = np.asarray(gains)                            # (2, 3)
+        assert np.abs(ours - np.asarray(cv_gains)).max() < 0.01
+        # the per-channel gains must actually differ (0.5 vs 0.9 channels)
+        assert ours[1, 0] - ours[1, 2] > 0.05
+
+    def test_channels_blocks_vs_opencv(self):
+        """cv2.detail.BlocksChannelsCompensator vs channels_compensate_blocks
+        on a spatially- AND channel-varying exposure difference (same
+        smoothing-scale tolerance as the blocks-gain test)."""
+        from imagestitch_tpu.exposure.gain import channels_compensate_blocks
+
+        rng = np.random.default_rng(0)
+        H, W = 96, 128
+        g = rng.uniform(60, 200, (H, W)).astype(np.float32)
+        ramp = np.linspace(0.4, 0.7, W)[None, :]
+        att = np.array([1.0, 0.8, 0.6], np.float32)
+        img1 = np.repeat(np.clip(g, 0, 255).astype(np.uint8)[..., None],
+                         3, -1)
+        img2 = np.clip((g * ramp)[..., None] * att, 0, 255).astype(np.uint8)
+        m1 = np.zeros((H, W), np.uint8)
+        m1[:, :96] = 255
+        m2 = np.zeros((H, W), np.uint8)
+        m2[:, 48:] = 255
+
+        comp = cv2.detail.BlocksChannelsCompensator(32, 32)
+        comp.feed(corners=[(0, 0), (0, 0)], images=[img1, img2],
+                  masks=[m1, m2])
+        cv_out = []
+        for i, (im, m) in enumerate(((img1, m1), (img2, m2))):
+            p = im.copy()
+            comp.apply(i, (0, 0), p, m)
+            cv_out.append(p.astype(np.float32))
+
+        _, comped = channels_compensate_blocks(
+            jnp.asarray(np.stack([img1, img2]), jnp.float32),
+            jnp.asarray(np.stack([m1 > 0, m2 > 0])), block=32)
+        ours = np.asarray(comped)
+        for i, m in enumerate((m1, m2)):
+            d = np.abs(ours[i][m > 0] - cv_out[i][m > 0])
+            assert d.mean() < 8.0, f"img{i}: mean dev {d.mean():.1f}"
+
+        ov = (m1 > 0) & (m2 > 0)
+        before = np.abs(img1.astype(np.float32)[ov]
+                        - img2.astype(np.float32)[ov]).mean()
+        after_ours = np.abs(ours[0][ov] - ours[1][ov]).mean()
+        after_cv = np.abs(cv_out[0][ov] - cv_out[1][ov]).mean()
+        # cv2 itself only reaches 0.57x here (the correct prior includes
+        # the self-pair beta, so block gains stay closer to 1)
+        assert after_ours < 0.65 * before
+        assert after_ours < 1.35 * after_cv
 
     def test_gain_blocks_vs_opencv(self):
         """cv2.detail.BlocksGainCompensator vs gain_compensate_blocks on a

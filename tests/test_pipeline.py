@@ -225,6 +225,20 @@ def test_stitch_pair_plane_warp_reconstructs_scene():
     assert err < 8.0
 
 
+def test_stitch_pair_ba_reproj():
+    """ba_kind="reproj" (BundleAdjusterReproj) through the full jitted pair
+    path: valid H, sane pano geometry (mirror of the translation test)."""
+    img1, img2, shift = synthetic_pair(192, 256, overlap=0.5, seed=21)
+    cfg = FAST_CFG.replace(camera=CameraConfig(ba_iters=10,
+                                               ba_kind="reproj"))
+    pano, metrics = stitch_pair(img1, img2, cfg)
+    assert metrics["h_valid"]
+    assert metrics["num_inliers"] > 20
+    assert pano.shape[1] > 256
+    assert abs(pano.shape[1] - (256 + shift)) < 60
+    assert pano.std() > 20
+
+
 def test_stitch_deterministic():
     img1, img2, _ = synthetic_pair(192, 256, overlap=0.5, seed=25)
     p1, m1 = stitch_pair(img1, img2, FAST_CFG, seed=7)
