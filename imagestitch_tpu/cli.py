@@ -53,7 +53,8 @@ def main(argv=None):
                                 "fisheye", "stereographic"])
         q.add_argument("--seam", default="dp_color",
                        choices=["dp_color", "dp_colorgrad", "voronoi",
-                                "graphcut", "none"])
+                                "graphcut",
+                                "graphcut_colorgrad", "none"])
         q.add_argument("--blend", default="feather",
                        choices=["feather", "multiband", "ramp", "none"])
         q.add_argument("--exposure", default="gain",

@@ -142,7 +142,9 @@ class SeamConfig:
     """Seam finder configuration (ref 动态规划....cpp; GraphCut COST_COLOR used
     in most reference mains, DP/Voronoi in project 6)."""
 
-    kind: str = "dp_color"  # dp_color|dp_colorgrad|voronoi|graphcut|none
+    # dp_color|dp_colorgrad|voronoi|graphcut|graphcut_colorgrad|none
+    # (graphcut_colorgrad = OpenCV GraphCutSeamFinder COST_COLOR_GRAD)
+    kind: str = "dp_color"
     dilate_kernel: int = 20       # ref 特征点检测.cpp:1164 (20x20 rect dilate)
     # DP seam orientation on the jitted fast path: "auto" dispatches per
     # pair from the overlap aspect via lax.cond (tall overlap -> vertical

@@ -98,7 +98,7 @@ def _pano_canvas_shape(hw: tuple[int, int], n_images: int,
 def _needs_host_seam(cfg: PipelineConfig) -> bool:
     """Seam kinds that cannot run inside jit: native-maxflow graphcut and
     the full-parity component-machinery DP (seam.dp_full)."""
-    return (cfg.seam.kind == "graphcut"
+    return (cfg.seam.kind.startswith("graphcut")
             or (cfg.seam.kind.startswith("dp_")
                 and cfg.seam.full_components))
 
@@ -145,14 +145,15 @@ def _host_seam_masks(warped, masks, cfg: PipelineConfig, edges=None):
             res[i] |= take
             un &= ~take
         return res
-    if cfg.seam.kind == "graphcut":
+    if cfg.seam.kind.startswith("graphcut"):
         from imagestitch_tpu.seam.graphcut import graphcut_seam_pair
         if edges is None:
             edges = [(i, i + 1) for i in range(n - 1)]
         m_list = [np.asarray(masks[i]) for i in range(n)]
         for (u, v) in edges:
             m_list[u], m_list[v] = graphcut_seam_pair(
-                warped[u], warped[v], m_list[u], m_list[v])
+                warped[u], warped[v], m_list[u], m_list[v],
+                use_grad=cfg.seam.kind == "graphcut_colorgrad")
         return np.stack(m_list)
     from imagestitch_tpu.seam.dp_full import dp_seam_find_full
     out = dp_seam_find_full(
@@ -224,7 +225,7 @@ def _seam_and_blend(images: jnp.ndarray, masks: jnp.ndarray,
                 # "graphcut" and full_components DP are host-only (the
                 # drivers route them through _host_seam_masks BEFORE the
                 # jitted blend); inside jit the DP scan is the seam
-                use_grad = cfg.seam.kind == "dp_colorgrad"
+                use_grad = cfg.seam.kind.endswith("colorgrad")
                 a2, b2, _ = dp_seam_pair(images[u], images[v], a, b,
                                          use_grad, max_overlap_w=max_w,
                                          max_overlap_h=max_h,

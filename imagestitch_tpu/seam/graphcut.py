@@ -1,12 +1,17 @@
 """GraphCut seam finder (host + native solvers).
 
-Equivalent of OpenCV's GraphCutSeamFinder(COST_COLOR), the default of most
-reference mains (ref 特征点检测.cpp:1128-1136). The cost model follows
-OpenCV's setGraphWeightsColor exactly:
+Equivalent of OpenCV's GraphCutSeamFinder(COST_COLOR / COST_COLOR_GRAD) —
+COST_COLOR is the default of most reference mains (ref 特征点检测.cpp
+:1128-1136). The cost models follow OpenCV's setGraphWeightsColor /
+setGraphWeightsColorGrad exactly:
 
-    edge w(p, q) = ||I1(p) − I2(p)||² + ||I1(q) − I2(q)||² + 1
-                   (+ bad_region_penalty if any endpoint lies outside
-                    either warped mask)
+    COLOR:      w(p, q) = ||I1(p) − I2(p)||² + ||I1(q) − I2(q)||² + 1
+    COLOR_GRAD: w(p, q) = (||ΔI(p)||² + ||ΔI(q)||²)
+                          / (Σ Sobel² maps of both images at p, q + 1) + 1
+                (horizontal edges divide by the d/dx maps, vertical by
+                 d/dy — seam_finders.cpp precomputes dx_/dy_ per image)
+    both:       + bad_region_penalty if any endpoint lies outside
+                  either warped mask
     terminal caps: terminal_cost toward source where mask1, toward sink
                    where mask2 (overlap pixels get both, which cancels)
 
@@ -55,6 +60,50 @@ def _diff2(img1: np.ndarray, img2: np.ndarray) -> np.ndarray:
     return (d * d).sum(axis=-1)
 
 
+def _sobel_sqnorm(img: np.ndarray, axis: int) -> np.ndarray:
+    """Squared L2 norm over channels of the 3x3 Sobel derivative along
+    `axis` (1 = d/dx, 0 = d/dy), BORDER_REFLECT_101 — exactly the dx_/dy_
+    maps GraphCutSeamFinder::Impl::find precomputes for COST_COLOR_GRAD
+    (seam_finders.cpp: Sobel CV_32F per channel, then normL2 per pixel)."""
+    p = np.pad(img.astype(np.float32), ((1, 1), (1, 1), (0, 0)),
+               mode="reflect")
+    if axis == 1:
+        sm = p[:-2] + 2.0 * p[1:-1] + p[2:]       # [1,2,1] vertical smooth
+        d = sm[:, 2:] - sm[:, :-2]                # [-1,0,1] horizontal diff
+    else:
+        sm = p[:, :-2] + 2.0 * p[:, 1:-1] + p[:, 2:]
+        d = sm[2:] - sm[:-2]
+    return (d * d).sum(axis=-1)
+
+
+def _grid_costs(d2, g, u, use_grad, dxs=None, dys=None):
+    """Pair costs of the 4-neighbor grid graph (OpenCV
+    setGraphWeightsColor / setGraphWeightsColorGrad): wh (h, w-1) edges
+    between (y,x)-(y,x+1), wv (h-1, w) edges between (y,x)-(y+1,x).
+
+    COST_COLOR:      w = d2(p) + d2(q) + eps
+    COST_COLOR_GRAD: w = (d2(p) + d2(q)) / (dxs(p) + dxs(q) + eps) + eps
+    with dxs/dys = dx1+dx2 / dy1+dy2 (the two images' Sobel sqnorm maps;
+    horizontal edges divide by dxs, vertical by dys). Both add the
+    bad-region penalty when either endpoint leaves either mask, and are 0
+    (free) outside the union."""
+    if use_grad:
+        wh = ((d2[:, :-1] + d2[:, 1:])
+              / (dxs[:, :-1] + dxs[:, 1:] + WEIGHT_EPS) + WEIGHT_EPS)
+        wv = ((d2[:-1, :] + d2[1:, :])
+              / (dys[:-1, :] + dys[1:, :] + WEIGHT_EPS) + WEIGHT_EPS)
+    else:
+        wh = d2[:, :-1] + d2[:, 1:] + WEIGHT_EPS
+        wv = d2[:-1, :] + d2[1:, :] + WEIGHT_EPS
+    wh = wh + np.where(~(g[:, :-1] & g[:, 1:]),
+                       np.float32(BAD_REGION_PENALTY), 0.0)
+    wv = wv + np.where(~(g[:-1, :] & g[1:, :]),
+                       np.float32(BAD_REGION_PENALTY), 0.0)
+    wh = np.where(u[:, :-1] & u[:, 1:], wh, 0.0).astype(np.float32)
+    wv = np.where(u[:-1, :] & u[1:, :], wv, 0.0).astype(np.float32)
+    return wh, wv
+
+
 def graphcut_seam_pair(img1: np.ndarray, img2: np.ndarray,
                        mask1: np.ndarray, mask2: np.ndarray,
                        use_grad: bool = False, method: str = "auto"):
@@ -81,7 +130,13 @@ def graphcut_seam_pair(img1: np.ndarray, img2: np.ndarray,
     ov_area = (int(oys.max()) + 1 - int(oys.min())) * \
         (int(oxs.max()) + 1 - int(oxs.min()))
     if method == "banded" or (method == "auto" and ov_area > BK_LIMIT):
-        return _banded_cut_pair(img1, img2, mask1, mask2)
+        return _banded_cut_pair(img1, img2, mask1, mask2, use_grad)
+
+    # gradient maps on the FULL canvases (Sobel support crosses the bbox)
+    dxs = dys = None
+    if use_grad:
+        dxs = _sobel_sqnorm(img1, 1) + _sobel_sqnorm(img2, 1)
+        dys = _sobel_sqnorm(img1, 0) + _sobel_sqnorm(img2, 0)
 
     y0, y1 = ys.min(), ys.max() + 1
     x0, x1 = xs.min(), xs.max() + 1
@@ -103,36 +158,16 @@ def graphcut_seam_pair(img1: np.ndarray, img2: np.ndarray,
     tcap[m1 & ~m2] = TERMINAL_COST
     tcap[m2 & ~m1] = -TERMINAL_COST
 
-    # edge weights d2(p) + d2(q) + eps, with the bad-region penalty when
-    # any endpoint lies outside either mask (seam_finders.cpp)
-    wpix = d2 + 0.5 * WEIGHT_EPS
-    good = m1 & m2                                     # inside both masks
-    ecap = np.zeros((h, w, 4), np.float32)
-
-    def pairw(shifted_w, shifted_good, edge_valid):
-        w_ = wpix + shifted_w
-        bad = ~(good & shifted_good)
-        w_ = w_ + np.where(bad, np.float32(BAD_REGION_PENALTY), 0.0)
-        return np.where(edge_valid, w_, 0.0).astype(np.float32)
-
     u = union[y0:y1, x0:x1]
-    # left (d=0): p with its left neighbor
-    vl = u & np.roll(u, 1, 1)
-    wl = pairw(np.roll(wpix, 1, 1), np.roll(good, 1, 1), vl)
-    wl[:, 0] = 0
-    vr = u & np.roll(u, -1, 1)
-    wr = pairw(np.roll(wpix, -1, 1), np.roll(good, -1, 1), vr)
-    wr[:, -1] = 0
-    vu = u & np.roll(u, 1, 0)
-    wu = pairw(np.roll(wpix, 1, 0), np.roll(good, 1, 0), vu)
-    wu[0, :] = 0
-    vd = u & np.roll(u, -1, 0)
-    wd = pairw(np.roll(wpix, -1, 0), np.roll(good, -1, 0), vd)
-    wd[-1, :] = 0
-    ecap[..., 0] = wl
-    ecap[..., 1] = wr
-    ecap[..., 2] = wu
-    ecap[..., 3] = wd
+    wh, wv = _grid_costs(
+        d2, both, u, use_grad,
+        dxs[y0:y1, x0:x1] if use_grad else None,
+        dys[y0:y1, x0:x1] if use_grad else None)
+    ecap = np.zeros((h, w, 4), np.float32)
+    ecap[:, 1:, 0] = wh          # edge to the LEFT neighbor
+    ecap[:, :-1, 1] = wh         # edge to the RIGHT neighbor
+    ecap[1:, :, 2] = wv          # edge UP
+    ecap[:-1, :, 3] = wv         # edge DOWN
 
     labels, _ = grid_maxflow(tcap, ecap)
     keep1 = labels.astype(bool)
@@ -165,24 +200,17 @@ def _one_is_left(mask1, mask2, x_lo, x_hi):
     return c1 <= c2
 
 
-def _corridor_costs(ww, gw, uw):
-    """Dual-lattice crossing costs for a corridor window: ww per-pixel half
-    weights, gw inside-both-masks, uw inside-union. Returns (vcost, hcost)
-    for band_dijkstra."""
-    h, bw = ww.shape
+def _corridor_costs(wh, wv):
+    """Dual-lattice crossing costs for a corridor window from the grid
+    pair costs (_grid_costs): a vertical dual step crosses a horizontal
+    edge (wh), a horizontal dual step crosses a vertical edge (wv).
+    Returns (vcost, hcost) for band_dijkstra."""
+    h = wv.shape[0] + 1
+    bw = wh.shape[1] + 1
     vcost = np.full((h, bw + 1), INF, np.float32)
-    pairv = ww[:, :-1] + ww[:, 1:]
-    badv = ~(gw[:, :-1] & gw[:, 1:])
-    pairv = pairv + np.where(badv, np.float32(BAD_REGION_PENALTY), 0.0)
-    bothu = uw[:, :-1] & uw[:, 1:]
-    vcost[:, 1:-1] = np.where(bothu, pairv, 0.0)
-
+    vcost[:, 1:-1] = wh
     hcost = np.zeros((h + 1, bw), np.float32)
-    pairh = ww[:-1, :] + ww[1:, :]
-    badh = ~(gw[:-1, :] & gw[1:, :])
-    pairh = pairh + np.where(badh, np.float32(BAD_REGION_PENALTY), 0.0)
-    bothh = uw[:-1, :] & uw[1:, :]
-    hcost[1:-1, :] = np.where(bothh, pairh, 0.0)
+    hcost[1:-1, :] = wv
     return vcost, hcost
 
 
@@ -198,7 +226,7 @@ def _block_reduce(a, s, fn):
 COARSE_STRIDE = 4
 
 
-def _banded_cut_pair(img1, img2, mask1, mask2):
+def _banded_cut_pair(img1, img2, mask1, mask2, use_grad=False):
     """Large-overlap path: a FULL-WIDTH coarse dual solve seeds the
     corridor (so distant cheap channels are seen globally), then the exact
     fine solve runs inside it, doubling the band whenever the cut touches
@@ -214,8 +242,18 @@ def _banded_cut_pair(img1, img2, mask1, mask2):
     if transpose:
         i1, i2 = img1.transpose(1, 0, 2), img2.transpose(1, 0, 2)
         m1, m2 = mask1.T, mask2.T
-        out1, out2 = _banded_cut_pair(i1, i2, m1, m2)
+        out1, out2 = _banded_cut_pair(i1, i2, m1, m2, use_grad)
         return out1.T, out2.T
+
+    dxs = dys = None
+    if use_grad:
+        # full-canvas Sobel (support crosses the bbox crop); after a
+        # transpose, Sobel_x of the transposed image IS Sobel_yᵀ of the
+        # original, so computing here keeps the oracle orientation exact
+        dxs = (_sobel_sqnorm(img1, 1)
+               + _sobel_sqnorm(img2, 1))[y0:y1, x0:x1]
+        dys = (_sobel_sqnorm(img1, 0)
+               + _sobel_sqnorm(img2, 0))[y0:y1, x0:x1]
 
     b1 = both[y0:y1, x0:x1]
     i1 = img1[y0:y1, x0:x1]
@@ -223,21 +261,23 @@ def _banded_cut_pair(img1, img2, mask1, mask2):
     h, w = b1.shape
 
     d2 = _diff2(i1, i2)
-
-    # per-pixel half-weight (cv formulation): crossing between p,q costs
-    # d2(p) + d2(q) + eps (+ penalty outside both masks); free outside the
-    # union
     u = (mask1 | mask2)[y0:y1, x0:x1]
     g = (mask1 & mask2)[y0:y1, x0:x1]
-    wpix = np.where(u, d2 + 0.5 * WEIGHT_EPS, 0.0).astype(np.float32)
+    wh, wv = _grid_costs(d2, g, u, use_grad, dxs, dys)
 
     # global seed: full-width cut on a block-averaged pyramid level — sees
-    # cheap channels anywhere in the overlap, unlike a DP seed
+    # cheap channels anywhere in the overlap, unlike a DP seed. The coarse
+    # pair costs come from block-averaged per-pixel maps (a seed heuristic;
+    # the fine solve below is the exact one).
     s = COARSE_STRIDE
-    wc = _block_reduce(wpix, s, np.mean).astype(np.float32)
+    d2c = _block_reduce(np.where(u, d2, 0.0).astype(np.float32), s, np.mean)
     uc = _block_reduce(u, s, np.any)
     gc_ = _block_reduce(g, s, np.all)
-    vc, hc = _corridor_costs(wc, gc_, uc)
+    whc, wvc = _grid_costs(
+        d2c, gc_, uc, use_grad,
+        _block_reduce(dxs, s, np.mean) if use_grad else None,
+        _block_reduce(dys, s, np.mean) if use_grad else None)
+    vc, hc = _corridor_costs(whc, wvc)
     coarse_cross, _ = band_dijkstra(vc, hc)
     ccols = np.nonzero(coarse_cross.any(axis=0))[0]
     if len(ccols) == 0:
@@ -252,8 +292,7 @@ def _banded_cut_pair(img1, img2, mask1, mask2):
         bx1 = min(hi_seed + band + 1, w)
         bw = bx1 - bx0
 
-        vcost, hcost = _corridor_costs(wpix[:, bx0:bx1], g[:, bx0:bx1],
-                                       u[:, bx0:bx1])
+        vcost, hcost = _corridor_costs(wh[:, bx0:bx1 - 1], wv[:, bx0:bx1])
         crossings, cut_cost = band_dijkstra(vcost, hcost)
 
         covers_all = bx0 == 0 and bx1 == w

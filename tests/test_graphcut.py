@@ -55,8 +55,15 @@ def test_graphcut_seam_follows_agreement_column():
     assert s2[:, 12:].all()
 
 
-def test_stitcher_graphcut_path():
-    """4-image Stitcher run with the host graphcut seam."""
+import pytest
+
+
+@pytest.mark.parametrize("seam_kind", ["graphcut", "graphcut_colorgrad"])
+def test_stitcher_graphcut_path(seam_kind):
+    """4-image Stitcher run with the host graphcut seam (COLOR and
+    COLOR_GRAD cost models; the jitted programs are identical — the seam
+    kind only changes the host solve — so the second kind reuses the
+    executables)."""
     import jax.numpy as jnp
     from imagestitch_tpu import stitch
     from imagestitch_tpu.config import (
@@ -73,7 +80,7 @@ def test_stitcher_graphcut_path():
         ransac=RansacConfig(num_hypotheses=512),
         camera=CameraConfig(ba_refine=False),
         warp=WarpConfig(kind="plane", canvas_scale_w=1.8, canvas_scale_h=1.4),
-        seam=SeamConfig(kind="graphcut"))
+        seam=SeamConfig(kind=seam_kind))
     pano, metrics = stitch(views, cfg)
     assert pano.shape[1] > 224 + shift
     assert pano.std() > 20
@@ -242,6 +249,38 @@ class TestOpenCVGraphCutParity:
         ov = m1 & m2
         for method in ("bk", "banded"):
             o1, o2 = graphcut_seam_pair(c1, c2, m1, m2, method=method)
+            agree = ((o1 == cv_m1) & (o2 == cv_m2))[ov].mean()
+            assert agree > 0.999, (method, agree)
+
+    def test_color_grad_matches_cv2(self):
+        """COST_COLOR_GRAD (gradient-normalized weights): full-canvas tiles
+        at corner (0,0), so cv2's per-tile Sobel dx_/dy_ maps equal ours on
+        the canvas — both solvers must be pixel-exact."""
+        import pytest
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.default_rng(11)
+        H, W = 300, 420
+        sc = self._scene(H, W, 4)
+        img1 = np.clip(sc + rng.normal(0, 3, sc.shape), 0,
+                       255).astype(np.float32)
+        img2 = np.clip(sc * 1.05 + rng.normal(0, 3, sc.shape), 0,
+                       255).astype(np.float32)
+        m1 = np.zeros((H, W), np.uint8)
+        m1[:, :280] = 255
+        m2 = np.zeros((H, W), np.uint8)
+        m2[:, 140:] = 255
+
+        gc = cv2.detail_GraphCutSeamFinder("COST_COLOR_GRAD")
+        mo = gc.find([img1, img2], [(0, 0), (0, 0)],
+                     [m1.copy(), m2.copy()])
+        mo = [m.get() if isinstance(m, cv2.UMat) else np.asarray(m)
+              for m in mo]
+        cv_m1, cv_m2 = (mo[0] > 0), (mo[1] > 0)
+
+        ov = (m1 > 0) & (m2 > 0)
+        for method in ("bk", "banded"):
+            o1, o2 = graphcut_seam_pair(img1, img2, m1 > 0, m2 > 0,
+                                        use_grad=True, method=method)
             agree = ((o1 == cv_m1) & (o2 == cv_m2))[ov].mean()
             assert agree > 0.999, (method, agree)
 
