@@ -157,3 +157,19 @@ def synthetic_sequence(n: int, height: int = 480, width: int = 640,
     views = [np.ascontiguousarray(scene[:, i * shift:i * shift + width])
              for i in range(n)]
     return views, shift
+
+
+def synthetic_grid(rows: int, cols: int, height: int = 480, width: int = 640,
+                   overlap: float = 0.5, seed: int = 7):
+    """rows x cols overlapping viewports tiling one large scene in BOTH
+    directions (the 2-D panorama fixture — non-chain camera topology with
+    horizontal AND vertical overlaps). Returns (views row-major,
+    shift_x, shift_y)."""
+    sx = int(round(width * (1.0 - overlap)))
+    sy = int(round(height * (1.0 - overlap)))
+    scene = _render_scene(height + sy * (rows - 1),
+                          width + sx * (cols - 1), seed)
+    views = [np.ascontiguousarray(
+                scene[r * sy:r * sy + height, c * sx:c * sx + width])
+             for r in range(rows) for c in range(cols)]
+    return views, sx, sy

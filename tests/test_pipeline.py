@@ -357,6 +357,28 @@ def test_stitcher_mixed_sizes():
     assert abs(pano_u.shape[1] - pano.shape[1]) < 64
 
 
+def test_stitcher_2x2_grid():
+    """2-D (non-chain) topology: a 2x2 grid of viewports with horizontal
+    AND vertical overlaps. The host Stitcher's MST must register all four
+    views (the match graph has row, column, and diagonal edges) and the
+    tree-ordered seam resolution must handle both seam orientations. The
+    pano must extend in BOTH axes and reach all four corners."""
+    from imagestitch_tpu import stitch
+    from imagestitch_tpu.utils.io import synthetic_grid
+
+    views, sx, sy = synthetic_grid(2, 2, 160, 224, overlap=0.55, seed=33)
+    cfg = ST_CFG.replace(warp=WarpConfig(kind="plane", canvas_scale_w=1.8,
+                                         canvas_scale_h=1.8))
+    pano, metrics = stitch(views, cfg)
+    assert pano.shape[1] > 224 + sx * 0.6
+    assert pano.shape[0] > 160 + sy * 0.6
+    assert pano.std() > 20
+    # every view registered (reachable from the MST center)
+    reach = metrics.get("reachable")
+    if reach is not None:
+        assert all(bool(r) for r in np.asarray(reach))
+
+
 def test_stage_dump(tmp_path):
     """dump_stages writes per-stage .npz checkpoints (SURVEY §5 analogue of
     the reference's intermediate .bmp dumps)."""
