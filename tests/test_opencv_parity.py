@@ -597,6 +597,34 @@ class TestGain:
         assert after_ours < 1.35 * after_cv
 
 
+class TestTimelapser:
+    @pytest.mark.parametrize("kind,cv_kind", [
+        ("as_is", "AS_IS"), ("crop", "CROP")])
+    def test_timelapser_vs_opencv(self, kind, cv_kind):
+        """Both canvas ROIs (union / intersection) and frame placement
+        match cv2.detail.Timelapser exactly on overlapping frames."""
+        from imagestitch_tpu.timelapse import Timelapser
+
+        rng = np.random.default_rng(2)
+        corners = [(0, 0), (14, 9)]
+        sizes = [(24, 20), (24, 20)]                  # (w, h), cv order
+        frames = [rng.integers(0, 255, (20, 24, 3)).astype(np.int16)
+                  for _ in corners]
+
+        cvt = cv2.detail.Timelapser_createDefault(
+            getattr(cv2.detail, f"Timelapser_{cv_kind}"))
+        cvt.initialize(corners, sizes)
+        ours = Timelapser(kind).initialize(corners, sizes)
+
+        for img, corner in zip(frames, corners):
+            cvt.process(img, np.full(img.shape[:2], 255, np.uint8), corner)
+            d = cvt.getDst()
+            d = d.get() if isinstance(d, cv2.UMat) else np.asarray(d)
+            o = ours.process(img, corner)
+            assert o.shape == d.shape, (o.shape, d.shape)
+            assert np.array_equal(o, d)
+
+
 class TestBlendersAndSeams:
     def test_multiband_vs_opencv(self):
         """cv2.detail.MultiBandBlender (5 bands) vs blend.multiband on the
