@@ -34,7 +34,7 @@ Two solvers, chosen by problem size:
     stacked pairs), so horizontal seams work too.
 
 Not jittable — the `Stitcher` and the host-seam pair path use it when
-cfg.seam.kind == "graphcut".
+cfg.seam.kind is "graphcut" / "graphcut_colorgrad".
 """
 
 from __future__ import annotations
