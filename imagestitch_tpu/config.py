@@ -136,6 +136,11 @@ class ExposureConfig:
     kind: str = "gain"
     block_size: int = 32          # *_blocks cell size (OpenCV default)
 
+    def __post_init__(self):
+        kinds = ("gain", "gain_blocks", "channels", "channels_blocks",
+                 "none")
+        assert self.kind in kinds, f"unknown exposure kind: {self.kind!r}"
+
 
 @dataclass(frozen=True)
 class SeamConfig:
@@ -165,6 +170,11 @@ class SeamConfig:
     # <= 0 keeps full-resolution seams (this framework's default; the
     # on-device scan-DP fast path is unaffected either way).
     seam_megapix: float = -1.0
+
+    def __post_init__(self):
+        kinds = ("dp_color", "dp_colorgrad", "voronoi", "graphcut",
+                 "graphcut_colorgrad", "none")
+        assert self.kind in kinds, f"unknown seam kind: {self.kind!r}"
 
 
 @dataclass(frozen=True)

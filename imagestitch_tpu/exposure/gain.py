@@ -86,12 +86,15 @@ def gain_compensate(images: jnp.ndarray, masks: jnp.ndarray,
     #   b_i    += β N_ij          (all j, incl. self)
     #   A_ii   += β N_ij          (all j) + 2α Ī_ij² N_ij (j ≠ i)
     #   A_ij   -= 2α Ī_ij Ī_ji N_ij
+    # N_ij = max(1, count): OpenCV clamps every considered pair's count to
+    # >= 1 (canvas-frame ROIs always intersect, so every i≠j pair counts)
     areas = jnp.sum(m, axis=(1, 2))                          # N_ii
     off = 1.0 - jnp.eye(N, dtype=jnp.float32)
-    b = beta * (jnp.sum(n_p, axis=1) + areas)
-    diag = (beta * (jnp.sum(n_p, axis=1) + areas)
-            + 2.0 * alpha * jnp.sum(I * I * n_p * off, axis=1))
-    A = jnp.diag(diag) - 2.0 * alpha * I * I.T * n_p * off
+    n_acc = jnp.maximum(n_p, 1.0) * off
+    b = beta * (jnp.sum(n_acc, axis=1) + areas)
+    diag = (beta * (jnp.sum(n_acc, axis=1) + areas)
+            + 2.0 * alpha * jnp.sum(I * I * n_acc, axis=1))
+    A = jnp.diag(diag) - 2.0 * alpha * I * I.T * n_acc
 
     gains = jnp.linalg.solve(A, b)
     gains = jnp.where(jnp.all(jnp.isfinite(gains)), gains,
@@ -108,91 +111,154 @@ def channels_compensate(images: jnp.ndarray, masks: jnp.ndarray,
     Brown-Lowe single-gain system solved independently on each color
     channel — cv2's exposure_compensate.cpp runs one GainCompensator per
     split channel, where the 1-channel "intensity" is the channel value
-    itself. Returns (gains (N, C), images * gains)."""
+    itself. One mask-stats pass serves all channels (the overlap counts
+    and areas are channel-invariant); the C NxN solves are one vmapped
+    linalg.solve. Returns (gains (N, C), images * gains)."""
+    N = images.shape[0]
     C = images.shape[-1]
-    gains = jnp.stack([gain_compensate(images[..., c], masks, corners,
-                                       alpha, beta, shared_frame)[0]
-                       for c in range(C)], axis=-1)          # (N, C)
+    if N == 1:
+        return jnp.ones((1, C), jnp.float32), images
+
+    m = masks.astype(jnp.float32)
+    av = jnp.abs(images)                            # |channel value|
+    zero_n = jnp.float32(0.0)
+    zero_s = jnp.zeros((C,), jnp.float32)
+    n_mat = [[zero_n] * N for _ in range(N)]
+    s_mat = [[zero_s] * N for _ in range(N)]        # per-channel Σ value
+    for i in range(N):
+        for j in range(i + 1, N):
+            if shared_frame:
+                mj, gj = m[j], av[j]
+            else:
+                hw = m[i].shape
+                mj = shift_to_frame(m[j], corners[j], corners[i], hw)
+                gj = shift_to_frame(av[j], corners[j], corners[i], hw)
+            both = m[i] * mj
+            n_mat[i][j] = n_mat[j][i] = jnp.sum(both)
+            s_mat[i][j] = jnp.sum(av[i] * both[..., None], axis=(0, 1))
+            s_mat[j][i] = jnp.sum(gj * both[..., None], axis=(0, 1))
+
+    n_p = jnp.stack([jnp.stack(r) for r in n_mat])          # (N, N)
+    s_p = jnp.stack([jnp.stack([jnp.stack(v) for v in r])
+                     for r in s_mat])                       # (N, N, C)
+    I = s_p / jnp.maximum(n_p, 1.0)[..., None]              # (N, N, C)
+    Ic = jnp.moveaxis(I, -1, 0)                             # (C, N, N)
+
+    areas = jnp.sum(m, axis=(1, 2))
+    off = 1.0 - jnp.eye(N, dtype=jnp.float32)
+    n_acc = jnp.maximum(n_p, 1.0) * off
+    b = beta * (jnp.sum(n_acc, axis=1) + areas)             # (N,) all chans
+    diag = (b[None]
+            + 2.0 * alpha * jnp.sum(Ic * Ic * n_acc[None], axis=2))
+    A = (jax.vmap(jnp.diag)(diag)
+         - 2.0 * alpha * Ic * jnp.swapaxes(Ic, 1, 2) * n_acc[None])
+    gains = jnp.linalg.solve(A, jnp.broadcast_to(b, (C, N))[..., None])
+    gains = gains[..., 0].T                                 # (N, C)
+    gains = jnp.where(jnp.all(jnp.isfinite(gains)), gains,
+                      jnp.ones_like(gains))
     return gains, images * gains[:, None, None, :]
+
+
+def _blocks_gain_maps(intens: jnp.ndarray, m: jnp.ndarray, block: int,
+                      alpha: float, beta: float, smooth_iters: int):
+    """Shared core of the *_BLOCKS compensators. intens: (N, H, W, K)
+    non-negative intensity stacks (K=1: the L2-norm map of GAIN_BLOCKS;
+    K=C: per-channel values of CHANNELS_BLOCKS); m: (N, H, W) float masks.
+
+    Each `block`-pixel cell is an independent Brown-Lowe gain problem over
+    the N images (in the shared-frame layout a cell only overlaps the SAME
+    cell of other images, so OpenCV's (N·B)x(N·B) system block-
+    diagonalizes into K·B batched NxN solves — one linalg.solve); the
+    per-image gain maps are 3x3 Gaussian-smoothed and bilinearly upsampled
+    (the MXU resize). One mask-stats pass serves all K channels. Returns
+    (N, H, W, K) gain maps.
+    """
+    from imagestitch_tpu.ops.pyramid import resize_linear_mxu
+
+    N, H, W, K = intens.shape
+    By = -(-H // block)
+    Bx = -(-W // block)
+    Hp, Wp = By * block, Bx * block
+
+    def blocksum(x):                      # (H, W[, K]) -> (By, Bx[, K])
+        pad = ((0, Hp - H), (0, Wp - W)) + ((0, 0),) * (x.ndim - 2)
+        xp = jnp.pad(x, pad)
+        shp = (By, block, Bx, block) + x.shape[2:]
+        return xp.reshape(shp).sum(axis=(1, 3))
+
+    B = By * Bx
+    zero_n = jnp.zeros((B,), jnp.float32)
+    zero_s = jnp.zeros((B, K), jnp.float32)
+    n_mat = [[zero_n] * N for _ in range(N)]   # per-cell overlap counts
+    s_mat = [[zero_s] * N for _ in range(N)]   # per-cell per-chan Σ value
+    for i in range(N):
+        for j in range(i + 1, N):
+            both = m[i] * m[j]
+            nb = blocksum(both).reshape(-1)
+            n_mat[i][j] = n_mat[j][i] = nb
+            s_mat[i][j] = blocksum(
+                intens[i] * both[..., None]).reshape(B, K)
+            s_mat[j][i] = blocksum(
+                intens[j] * both[..., None]).reshape(B, K)
+
+    n_p = jnp.stack([jnp.stack(r) for r in n_mat])          # (N, N, B)
+    s_p = jnp.stack([jnp.stack([jnp.stack(v) for v in r])
+                     for r in s_mat])                       # (N, N, B, K)
+    n_p = jnp.moveaxis(n_p, -1, 0)                          # (B, N, N)
+    s_p = jnp.transpose(s_p, (3, 2, 0, 1))                  # (K, B, N, N)
+    I = s_p / jnp.maximum(n_p, 1.0)[None]
+
+    # per-(image, cell) self area: the β prior of the (N·B)² system's self
+    # pairs (see gain_compensate — the block system block-diagonalizes);
+    # off-diagonal counts clamped to >= 1 like OpenCV's max(1, N)
+    areas = jnp.stack([blocksum(m[i]).reshape(-1) for i in range(N)])
+    areas = jnp.moveaxis(areas, -1, 0)                      # (B, N)
+
+    off = (1.0 - jnp.eye(N, dtype=jnp.float32))[None]
+    n_acc = jnp.maximum(n_p, 1.0) * off                     # (B, N, N)
+    b = beta * (jnp.sum(n_acc, axis=2) + areas)             # (B, N)
+    diag = (b[None]
+            + 2.0 * alpha * jnp.sum(I * I * n_acc[None], axis=3))
+    A = (jax.vmap(jax.vmap(jnp.diag))(diag)
+         - 2.0 * alpha * I * jnp.swapaxes(I, 2, 3) * n_acc[None])
+    # cells with no mask pixels at all have singular systems -> unit gain
+    # (cells with mask but no overlap get exactly 1 from the prior alone)
+    ridge = 1e-6 * jnp.eye(N, dtype=jnp.float32)[None, None]
+    bb_ = jnp.broadcast_to(b[None], (K, B, N))[..., None]
+    gains = jnp.linalg.solve(A + ridge, bb_)[..., 0]        # (K, B, N)
+    gains = jnp.where(jnp.isfinite(gains) & (areas[None] > 0), gains, 1.0)
+    gmap = jnp.transpose(gains.reshape(K, By, Bx, N),
+                         (3, 1, 2, 0))                      # (N, By, Bx, K)
+
+    # 3x3 binomial smoothing (OpenCV's Gaussian kernel on the gain map)
+    k = jnp.asarray([0.25, 0.5, 0.25], jnp.float32)
+    for _ in range(smooth_iters):
+        gp = jnp.pad(gmap, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        gmap = sum(k[a] * k[bb] * gp[:, a:a + By, bb:bb + Bx]
+                   for a in range(3) for bb in range(3))
+
+    up = jax.vmap(jax.vmap(lambda g: resize_linear_mxu(g, (Hp, Wp)),
+                           in_axes=2, out_axes=2))(gmap)    # (N, Hp, Wp, K)
+    return up[:, :H, :W]
 
 
 def gain_compensate_blocks(images: jnp.ndarray, masks: jnp.ndarray,
                            block: int = 32, alpha: float = 0.01,
                            beta: float = 100.0, smooth_iters: int = 1):
     """Per-block gain compensation (OpenCV BlocksGainCompensator,
-    GAIN_BLOCKS): each image splits into `block`-pixel cells; every cell is
-    an independent Brown-Lowe gain problem over the N images (in the
-    shared-frame layout a cell only overlaps the SAME cell of other images,
-    so OpenCV's (N·B)x(N·B) system block-diagonalizes into B batched NxN
-    solves — one vmapped linalg.solve); the per-image gain maps are 3x3
-    Gaussian-smoothed and bilinearly upsampled (the MXU resize) before
-    applying per pixel.
+    GAIN_BLOCKS) — see _blocks_gain_maps for the cell-system design.
 
     images: (N, H, W, C) shared-frame canvases; masks: (N, H, W) bool.
     Returns (gain maps (N, H, W), compensated images).
     """
-    from imagestitch_tpu.ops.pyramid import resize_linear_mxu
-
     N, H, W = images.shape[:3]
     if N == 1:
         return jnp.ones((1, H, W), jnp.float32), images
     m = masks.astype(jnp.float32)
     grays = (jnp.sqrt(jnp.sum(images * images, axis=-1))
              if images.ndim == 4 else jnp.abs(images))
-
-    By = -(-H // block)
-    Bx = -(-W // block)
-    Hp, Wp = By * block, Bx * block
-
-    def blocksum(x):                      # (H, W) -> (By, Bx)
-        xp = jnp.pad(x, ((0, Hp - H), (0, Wp - W)))
-        return xp.reshape(By, block, Bx, block).sum(axis=(1, 3))
-
-    B = By * Bx
-    zero = jnp.zeros((B,), jnp.float32)
-    n_mat = [[zero] * N for _ in range(N)]     # per-cell overlap counts
-    s_mat = [[zero] * N for _ in range(N)]     # per-cell Σ gray over overlap
-    for i in range(N):
-        for j in range(i + 1, N):
-            both = m[i] * m[j]
-            nb = blocksum(both).reshape(-1)
-            n_mat[i][j] = n_mat[j][i] = nb
-            s_mat[i][j] = blocksum(grays[i] * both).reshape(-1)
-            s_mat[j][i] = blocksum(grays[j] * both).reshape(-1)
-
-    n_p = jnp.stack([jnp.stack(r) for r in n_mat])          # (N, N, B)
-    s_p = jnp.stack([jnp.stack(r) for r in s_mat])
-    n_p = jnp.moveaxis(n_p, -1, 0)                          # (B, N, N)
-    s_p = jnp.moveaxis(s_p, -1, 0)
-    I = s_p / jnp.maximum(n_p, 1.0)
-
-    # per-(image, cell) self area: the β prior of the (N·B)² system's self
-    # pairs (see gain_compensate — the block system block-diagonalizes)
-    areas = jnp.stack([blocksum(m[i]).reshape(-1) for i in range(N)])
-    areas = jnp.moveaxis(areas, -1, 0)                      # (B, N)
-
-    off = (1.0 - jnp.eye(N, dtype=jnp.float32))[None]
-    b = beta * (jnp.sum(n_p, axis=2) + areas)               # (B, N)
-    diag = (beta * (jnp.sum(n_p, axis=2) + areas)
-            + 2.0 * alpha * jnp.sum(I * I * n_p * off, axis=2))
-    A = (jax.vmap(jnp.diag)(diag)
-         - 2.0 * alpha * I * jnp.swapaxes(I, 1, 2) * n_p * off)
-    # cells with no mask pixels at all have singular systems -> unit gain
-    # (cells with mask but no overlap get exactly 1 from the prior alone)
-    ridge = 1e-6 * jnp.eye(N, dtype=jnp.float32)[None]
-    gains = jnp.linalg.solve(A + ridge, b[..., None])[..., 0]   # (B, N)
-    gains = jnp.where(jnp.isfinite(gains) & (areas > 0), gains, 1.0)
-    gmap = jnp.moveaxis(gains.reshape(By, Bx, N), -1, 0)    # (N, By, Bx)
-
-    # 3x3 binomial smoothing (OpenCV's Gaussian kernel on the gain map)
-    k = jnp.asarray([0.25, 0.5, 0.25], jnp.float32)
-    for _ in range(smooth_iters):
-        gp = jnp.pad(gmap, ((0, 0), (1, 1), (1, 1)), mode="edge")
-        gmap = sum(k[a] * k[bb] * gp[:, a:a + By, bb:bb + Bx]
-                   for a in range(3) for bb in range(3))
-
-    up = jax.vmap(lambda g: resize_linear_mxu(g, (Hp, Wp)))(gmap)
-    up = up[:, :H, :W]
+    up = _blocks_gain_maps(grays[..., None], m, block, alpha, beta,
+                           smooth_iters)[..., 0]            # (N, H, W)
     out = images * (up[..., None] if images.ndim == 4 else up)
     return up, out
 
@@ -201,10 +267,13 @@ def channels_compensate_blocks(images: jnp.ndarray, masks: jnp.ndarray,
                                block: int = 32, alpha: float = 0.01,
                                beta: float = 100.0, smooth_iters: int = 1):
     """Per-channel per-block gains (OpenCV BlocksChannelsCompensator,
-    CHANNELS_BLOCKS): the block gain-map machinery applied to each color
-    channel independently. Returns (gain maps (N, H, W, C), compensated)."""
-    C = images.shape[-1]
-    maps = jnp.stack([gain_compensate_blocks(images[..., c], masks, block,
-                                             alpha, beta, smooth_iters)[0]
-                      for c in range(C)], axis=-1)           # (N, H, W, C)
+    CHANNELS_BLOCKS): the block gain-map machinery with per-channel
+    intensities — one mask-stats pass, C·B batched NxN solves.
+    Returns (gain maps (N, H, W, C), compensated)."""
+    N, H, W, C = images.shape
+    if N == 1:
+        return jnp.ones((N, H, W, C), jnp.float32), images
+    m = masks.astype(jnp.float32)
+    maps = _blocks_gain_maps(jnp.abs(images), m, block, alpha, beta,
+                             smooth_iters)                  # (N, H, W, C)
     return maps, images * maps

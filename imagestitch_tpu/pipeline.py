@@ -153,7 +153,7 @@ def _host_seam_masks(warped, masks, cfg: PipelineConfig, edges=None):
         for (u, v) in edges:
             m_list[u], m_list[v] = graphcut_seam_pair(
                 warped[u], warped[v], m_list[u], m_list[v],
-                use_grad=cfg.seam.kind == "graphcut_colorgrad")
+                use_grad=cfg.seam.kind.endswith("colorgrad"))
         return np.stack(m_list)
     from imagestitch_tpu.seam.dp_full import dp_seam_find_full
     out = dp_seam_find_full(

@@ -132,14 +132,22 @@ def graphcut_seam_pair(img1: np.ndarray, img2: np.ndarray,
     if method == "banded" or (method == "auto" and ov_area > BK_LIMIT):
         return _banded_cut_pair(img1, img2, mask1, mask2, use_grad)
 
-    # gradient maps on the FULL canvases (Sobel support crosses the bbox)
-    dxs = dys = None
-    if use_grad:
-        dxs = _sobel_sqnorm(img1, 1) + _sobel_sqnorm(img2, 1)
-        dys = _sobel_sqnorm(img1, 0) + _sobel_sqnorm(img2, 0)
-
     y0, y1 = ys.min(), ys.max() + 1
     x0, x1 = xs.min(), xs.max() + 1
+
+    # gradient maps on a 1-pixel-margin bbox crop (the 3x3 Sobel support
+    # crosses the bbox; beyond the margin the full-canvas values are
+    # identical, so this avoids 4 full-canvas passes for a small overlap)
+    dxs = dys = None
+    if use_grad:
+        gy0, gx0 = max(y0 - 1, 0), max(x0 - 1, 0)
+        c1 = img1[gy0:y1 + 1, gx0:x1 + 1]
+        c2 = img2[gy0:y1 + 1, gx0:x1 + 1]
+        ry, rx = y0 - gy0, x0 - gx0           # margin actually added
+        dxs = (_sobel_sqnorm(c1, 1) + _sobel_sqnorm(c2, 1))[
+            ry:ry + (y1 - y0), rx:rx + (x1 - x0)]
+        dys = (_sobel_sqnorm(c1, 0) + _sobel_sqnorm(c2, 0))[
+            ry:ry + (y1 - y0), rx:rx + (x1 - x0)]
 
     m1 = mask1[y0:y1, x0:x1]
     m2 = mask2[y0:y1, x0:x1]
@@ -159,10 +167,7 @@ def graphcut_seam_pair(img1: np.ndarray, img2: np.ndarray,
     tcap[m2 & ~m1] = -TERMINAL_COST
 
     u = union[y0:y1, x0:x1]
-    wh, wv = _grid_costs(
-        d2, both, u, use_grad,
-        dxs[y0:y1, x0:x1] if use_grad else None,
-        dys[y0:y1, x0:x1] if use_grad else None)
+    wh, wv = _grid_costs(d2, both, u, use_grad, dxs, dys)
     ecap = np.zeros((h, w, 4), np.float32)
     ecap[:, 1:, 0] = wh          # edge to the LEFT neighbor
     ecap[:, :-1, 1] = wh         # edge to the RIGHT neighbor
@@ -247,13 +252,18 @@ def _banded_cut_pair(img1, img2, mask1, mask2, use_grad=False):
 
     dxs = dys = None
     if use_grad:
-        # full-canvas Sobel (support crosses the bbox crop); after a
-        # transpose, Sobel_x of the transposed image IS Sobel_yᵀ of the
-        # original, so computing here keeps the oracle orientation exact
-        dxs = (_sobel_sqnorm(img1, 1)
-               + _sobel_sqnorm(img2, 1))[y0:y1, x0:x1]
-        dys = (_sobel_sqnorm(img1, 0)
-               + _sobel_sqnorm(img2, 0))[y0:y1, x0:x1]
+        # Sobel on a 1-pixel-margin bbox crop (support crosses the crop;
+        # values match the full-canvas maps). After a transpose, Sobel_x of
+        # the transposed image IS Sobel_yᵀ of the original, so computing
+        # here keeps the oracle orientation exact.
+        gy0, gx0 = max(y0 - 1, 0), max(x0 - 1, 0)
+        c1 = img1[gy0:y1 + 1, gx0:x1 + 1]
+        c2 = img2[gy0:y1 + 1, gx0:x1 + 1]
+        ry, rx = y0 - gy0, x0 - gx0
+        dxs = (_sobel_sqnorm(c1, 1) + _sobel_sqnorm(c2, 1))[
+            ry:ry + (y1 - y0), rx:rx + (x1 - x0)]
+        dys = (_sobel_sqnorm(c1, 0) + _sobel_sqnorm(c2, 0))[
+            ry:ry + (y1 - y0), rx:rx + (x1 - x0)]
 
     b1 = both[y0:y1, x0:x1]
     i1 = img1[y0:y1, x0:x1]

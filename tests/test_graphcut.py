@@ -1,6 +1,7 @@
 """Native maxflow + GraphCut seam tests."""
 
 import numpy as np
+import pytest
 
 from imagestitch_tpu.native.ccl import grid_maxflow
 from imagestitch_tpu.seam.graphcut import graphcut_seam_pair
@@ -54,8 +55,6 @@ def test_graphcut_seam_follows_agreement_column():
     assert s1[:, :10].all()
     assert s2[:, 12:].all()
 
-
-import pytest
 
 
 @pytest.mark.parametrize("seam_kind", ["graphcut", "graphcut_colorgrad"])
@@ -193,7 +192,6 @@ class TestOpenCVGraphCutParity:
     def test_bk_and_banded_match_cv2(self):
         """Horizontal pair, exposure+noise difference in the overlap: both
         solvers reproduce cv2's cut pixel-exactly."""
-        import pytest
         cv2 = pytest.importorskip("cv2")
         rng = np.random.default_rng(5)
         H, W = 480, 640
@@ -221,7 +219,6 @@ class TestOpenCVGraphCutParity:
     def test_trapezoid_masks_match_cv2(self):
         """Non-rectangular (trapezoid) warped-style masks engage the
         bad-region penalty terms; still pixel-exact vs cv2."""
-        import pytest
         cv2 = pytest.importorskip("cv2")
         rng = np.random.default_rng(7)
         H, W = 360, 560
@@ -256,7 +253,6 @@ class TestOpenCVGraphCutParity:
         """COST_COLOR_GRAD (gradient-normalized weights): full-canvas tiles
         at corner (0,0), so cv2's per-tile Sobel dx_/dy_ maps equal ours on
         the canvas — both solvers must be pixel-exact."""
-        import pytest
         cv2 = pytest.importorskip("cv2")
         rng = np.random.default_rng(11)
         H, W = 300, 420
@@ -287,7 +283,6 @@ class TestOpenCVGraphCutParity:
     def test_stacked_pair_matches_cv2(self):
         """Vertically-arranged pair: the banded solver's transpose path and
         BK both match cv2's horizontal seam."""
-        import pytest
         cv2 = pytest.importorskip("cv2")
         rng = np.random.default_rng(9)
         H, W = 560, 360
