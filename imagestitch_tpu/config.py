@@ -106,6 +106,7 @@ class CameraConfig:
     ba_iters: int = 25
     ba_conf_thresh: float = 1.0   # ref conf_thresh = 1
     wave_correct: bool = False    # present but commented out in ref (:1071-1077)
+    wave_kind: str = "horiz"      # horiz | vert (OpenCV WAVE_CORRECT_*)
 
 
 @dataclass(frozen=True)

@@ -233,7 +233,11 @@ def wave_correct(R: jnp.ndarray, kind: str = "horiz") -> jnp.ndarray:
     x_axes = R[:, :, 0]                                           # (N, 3)
     moment = x_axes.T @ x_axes                                    # (3, 3)
     _, V = jnp.linalg.eigh(moment)
-    rg1 = V[:, 0]                                                 # smallest
+    # OpenCV motion_estimators.cpp: HORIZ anchors rg1 to the SMALLEST-
+    # eigenvalue direction of the x-axis moment (the pan axis is the one
+    # the camera x-axes avoid); VERT to the LARGEST (the camera sweeps
+    # vertically, so the x-axes cluster around the global x)
+    rg1 = V[:, 0] if kind == "horiz" else V[:, 2]
     img_k = jnp.sum(R[:, :, 2], axis=0)
     rg0 = jnp.cross(rg1, img_k)
     rg0 = rg0 / jnp.maximum(jnp.linalg.norm(rg0), 1e-12)
@@ -241,8 +245,10 @@ def wave_correct(R: jnp.ndarray, kind: str = "horiz") -> jnp.ndarray:
 
     if kind == "horiz":
         conf = jnp.sum(x_axes @ rg0)
-        sign = jnp.where(conf < 0, -1.0, 1.0)
-        rg0 = rg0 * sign
-        rg1 = rg1 * sign
+    else:                                  # vert: conf = -Σ rg1·x_i
+        conf = -jnp.sum(x_axes @ rg1)
+    sign = jnp.where(conf < 0, -1.0, 1.0)
+    rg0 = rg0 * sign
+    rg1 = rg1 * sign
     G = jnp.stack([rg0, rg1, rg2], axis=0)                        # rows
     return jnp.einsum("ab,nbc->nac", G, R).astype(jnp.float32)

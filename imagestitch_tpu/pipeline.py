@@ -367,7 +367,8 @@ def stitch_pair_front_impl(img1: jnp.ndarray, img2: jnp.ndarray,
             (mi.confidence > cfg.camera.ba_conf_thresh)[None],
             cfg.camera.ba_iters, cfg.camera.ba_kind)
     if cfg.camera.wave_correct:
-        cams = cams.replace(R=wave_correct(cams.R))
+        cams = cams.replace(
+                R=wave_correct(cams.R, cfg.camera.wave_kind))
     if ws < 1.0:
         cams = _upscale_cameras(cams, 1.0 / ws)
 
@@ -497,7 +498,8 @@ def stitch_chain_front_impl(imgs: jnp.ndarray, key: jax.Array,
             (mis_ba.confidence > cfg.camera.ba_conf_thresh) & mis_ba.h_valid,
             cfg.camera.ba_iters, cfg.camera.ba_kind)
     if cfg.camera.wave_correct:
-        cams = cams.replace(R=wave_correct(cams.R))
+        cams = cams.replace(
+                R=wave_correct(cams.R, cfg.camera.wave_kind))
     if ws < 1.0:
         cams = _upscale_cameras(cams, 1.0 / ws)
 
@@ -774,7 +776,8 @@ class Stitcher:
                     cfg.camera.ba_iters, cfg.camera.ba_kind)
                 jax.block_until_ready(cams.R)
         if cfg.camera.wave_correct:
-            cams = cams.replace(R=wave_correct(cams.R))
+            cams = cams.replace(
+                R=wave_correct(cams.R, cfg.camera.wave_kind))
         if ws < 1.0:
             cams = _upscale_cameras(cams, 1.0 / ws)
         dump("cameras", focal=cams.focal, R=cams.R, ppx=cams.ppx,

@@ -95,7 +95,8 @@ class StreamStitcher:
                 ms.src_idx, ms.dst_idx, jnp.asarray(keep) & ms.h_valid,
                 cfg.camera.ba_iters, cfg.camera.ba_kind)
         if cfg.camera.wave_correct:
-            cams = cams.replace(R=wave_correct(cams.R))
+            cams = cams.replace(
+                R=wave_correct(cams.R, cfg.camera.wave_kind))
         if ws < 1.0:
             cams = _upscale_cameras(cams, 1.0 / ws)
 

@@ -725,6 +725,19 @@ class TestBlendersAndSeams:
                     np.abs(ours[i] + cv_out[i]).max())
             assert d < 1e-5
 
+        # VERT kind (vertical sweep: pitch varies along the sequence);
+        # OpenCV anchors rg1 to the LARGEST-eigenvalue direction here
+        Rs = [rot(0.05 * rng.standard_normal(), 0.25 * i - 0.4,
+                  0.02 * rng.standard_normal()) for i in range(4)]
+        cv_out = cv2.detail.waveCorrect([R.copy() for R in Rs],
+                                        cv2.detail.WAVE_CORRECT_VERT)
+        ours = np.asarray(wave_correct(jnp.asarray(np.stack(Rs)),
+                                       kind="vert"))
+        for i in range(4):
+            d = min(np.abs(ours[i] - cv_out[i]).max(),
+                    np.abs(ours[i] + cv_out[i]).max())
+            assert d < 1e-5
+
     def test_l1_distance_transform_vs_opencv(self):
         """Our scan-based L1 distance transform — the numeric core of the
         VoronoiSeamFinder — is EXACT vs cv2.distanceTransform(DIST_L1).
