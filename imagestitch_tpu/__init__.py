@@ -57,8 +57,10 @@ from imagestitch_tpu.types import ImageFeatures, MatchesInfo, CameraParams
 from imagestitch_tpu.pipeline import (
     Stitcher, stitch, stitch_pair, stitch_chain)
 from imagestitch_tpu.stream import StreamStitcher
+from imagestitch_tpu.timelapse import Timelapser
 
 __all__ = [
+    "Timelapser",
     "DetectorConfig",
     "MatcherConfig",
     "RansacConfig",
