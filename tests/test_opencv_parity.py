@@ -362,11 +362,12 @@ class TestEndToEnd:
             assert abs(u0 * scale_ratio - cu) < 12.0
             assert abs(v0 * scale_ratio - cvn) < 12.0
 
-    def test_pano_geometry_and_content(self, cv_out, ours_out):
+    @staticmethod
+    def _assert_panos_agree(cv_out, pano_o, valid_o, corner,
+                            min_iou=0.95, min_psnr=22.0):
         """Align the two panos by their global canvas corners and assert
         valid-region IoU and PSNR over the jointly valid pixels."""
-        pano_o, valid_o = ours_out["pano"], ours_out["valid"]
-        cu, cvn = int(ours_out["corner"][0]), int(ours_out["corner"][1])
+        cu, cvn = int(corner[0]), int(corner[1])
         pano_c, mask_c = cv_out["pano"], cv_out["mask"]
         x0, y0 = int(cv_out["dst_roi"][0]), int(cv_out["dst_roi"][1])
 
@@ -381,10 +382,39 @@ class TestEndToEnd:
 
         both = ov & cm
         iou = both.sum() / (ov | cm).sum()
-        assert iou > 0.95
+        assert iou > min_iou, iou
         mse = float(np.mean((ours[both] - cvs[both]) ** 2))
         psnr = 10 * np.log10(255.0 ** 2 / mse)
-        assert psnr > 22.0
+        assert psnr > min_psnr, psnr
+
+    def test_pano_geometry_and_content(self, cv_out, ours_out):
+        self._assert_panos_agree(cv_out, ours_out["pano"],
+                                 ours_out["valid"], ours_out["corner"])
+
+    def test_pano_graphcut_agreement(self, rot_pair):
+        """End-to-end with the reference mains' DEFAULT seam finder
+        (GraphCutSeamFinder COST_COLOR, ref 特征点检测.cpp:1134) on both
+        sides: the host-seam split path (jit front → native graphcut →
+        jit blend) vs the cv2.detail chain with graphcut."""
+        from imagestitch_tpu import pipeline as pl
+        from imagestitch_tpu.config import (PipelineConfig, CameraConfig,
+                                            SeamConfig)
+
+        img1, img2, _, _ = rot_pair
+        cv_out = _cv_detail_pipeline(img1, img2, seam="graphcut")
+        cfg = PipelineConfig().replace(
+            camera=CameraConfig(ba_refine=False),
+            seam=SeamConfig(kind="graphcut"))
+        warped, masks, corner, metrics = pl.stitch_pair_front(
+            jnp.asarray(img1, jnp.float32), jnp.asarray(img2, jnp.float32),
+            jax.random.key(0), cfg)
+        assert bool(metrics["h_valid"])
+        seam_masks = pl._host_seam_masks(np.asarray(warped),
+                                         np.asarray(masks), cfg)
+        pano, valid = pl.blend_resolved(
+            warped, jnp.asarray(seam_masks), masks, cfg)
+        self._assert_panos_agree(cv_out, np.asarray(pano),
+                                 np.asarray(valid), np.asarray(corner))
 
     def test_full_auto_vs_cv2_stitcher(self, rot_pair):
         """Fully-automatic comparison: cv2.Stitcher (its own BA + wave
