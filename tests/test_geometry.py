@@ -319,6 +319,74 @@ def test_bundle_adjust_reproj_recovers_cameras():
     assert err < 0.5
 
 
+def test_affine_solvers_exact_on_clean_points():
+    """Minimal solves and the LS refit recover exact transforms from
+    noise-free correspondences (both motion models)."""
+    from imagestitch_tpu.geometry.affine import (
+        solve_affine_partial_2p, solve_affine_3p, ls_affine,
+        affine_error_sq)
+
+    th, s = 0.3, 1.2
+    A_sim = np.array([[s * np.cos(th), -s * np.sin(th), 12.0],
+                      [s * np.sin(th), s * np.cos(th), -7.0],
+                      [0, 0, 1]], np.float32)
+    A_full = np.array([[1.1, 0.2, 5.0], [-0.15, 0.9, 3.0], [0, 0, 1]],
+                      np.float32)
+    rng = np.random.default_rng(1)
+    src = rng.uniform(-100, 100, (16, 2)).astype(np.float32)
+
+    def apply(A, p):
+        return p @ A[:2, :2].T + A[:2, 2]
+
+    A2, ok2 = solve_affine_partial_2p(jnp.asarray(src[:2]),
+                                      jnp.asarray(apply(A_sim, src[:2])))
+    assert bool(ok2)
+    assert np.abs(np.asarray(A2) - A_sim).max() < 1e-4
+
+    A3, ok3 = solve_affine_3p(jnp.asarray(src[:3]),
+                              jnp.asarray(apply(A_full, src[:3])))
+    assert bool(ok3)
+    assert np.abs(np.asarray(A3) - A_full).max() < 1e-4
+
+    for A_true, partial in ((A_sim, True), (A_full, False)):
+        dst = apply(A_true, src)
+        Af, okf = ls_affine(jnp.asarray(src), jnp.asarray(dst),
+                            jnp.ones((16,), jnp.float32), partial)
+        assert bool(okf)
+        err = np.asarray(affine_error_sq(Af, jnp.asarray(src),
+                                         jnp.asarray(dst)))
+        assert err.max() < 1e-4
+
+
+def test_find_affine_rejects_outliers():
+    """RANSAC affine on 50% outliers recovers the transform (both
+    models); deterministic given the key."""
+    from imagestitch_tpu.geometry.affine import find_affine
+
+    rng = np.random.default_rng(0)
+    n = 256
+    src = rng.uniform(0, 500, (n, 2)).astype(np.float32)
+    th, s = 0.2, 1.15
+    A_true = np.array([[s * np.cos(th), -s * np.sin(th), 40.0],
+                       [s * np.sin(th), s * np.cos(th), -25.0]], np.float32)
+    dst = (src @ A_true[:, :2].T + A_true[:, 2]).astype(np.float32)
+    dst[n // 2:] += rng.uniform(-120, 120, (n - n // 2, 2)).astype(np.float32)
+    mask = np.ones((n,), bool)
+
+    for partial in (True, False):
+        res = find_affine(jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(mask), jax.random.key(0),
+                          partial=partial)
+        assert bool(res.ok)
+        assert int(res.num_inliers) >= n // 2 - 4
+        A = np.asarray(res.H)[:2]
+        assert np.abs(A - A_true).max() < 0.05
+        res2 = find_affine(jnp.asarray(src), jnp.asarray(dst),
+                           jnp.asarray(mask), jax.random.key(0),
+                           partial=partial)
+        assert np.array_equal(np.asarray(res.H), np.asarray(res2.H))
+
+
 def test_wave_correct_identity_set():
     R = jnp.tile(jnp.eye(3)[None], (3, 1, 1))
     out = np.asarray(wave_correct(R))

@@ -177,6 +177,51 @@ class TestMatcher:
         assert np.abs(ap(H_ours) - ap(Hc_true)).max() < 1.5
 
 
+class TestAffine:
+    def test_estimate_affine_vs_opencv(self):
+        """find_affine vs cv2.estimateAffinePartial2D / estimateAffine2D on
+        a noisy 50%-outlier set: the similarity model agrees to ~1e-3 in
+        the parameters; the full model transfers points within noise of
+        cv2's estimate (both sit at the noise floor from ground truth)."""
+        from imagestitch_tpu.geometry.affine import find_affine
+
+        rng = np.random.default_rng(0)
+        n = 256
+        src = rng.uniform(0, 500, (n, 2)).astype(np.float32)
+        th, s = 0.2, 1.15
+        A_true = np.array([[s * np.cos(th), -s * np.sin(th), 40.0],
+                           [s * np.sin(th), s * np.cos(th), -25.0]],
+                          np.float32)
+        dst = (src @ A_true[:, :2].T + A_true[:, 2]
+               + rng.normal(0, 0.5, (n, 2))).astype(np.float32)
+        dst[n // 2:] += rng.uniform(-120, 120,
+                                    (n - n // 2, 2)).astype(np.float32)
+        mask = np.ones((n,), bool)
+        grid = np.stack(np.meshgrid(np.linspace(0, 500, 6),
+                                    np.linspace(0, 500, 6)),
+                        -1).reshape(-1, 2)
+
+        def apply(A, p):
+            return p @ A[:, :2].T + A[:, 2]
+
+        for partial, fn in ((True, cv2.estimateAffinePartial2D),
+                            (False, cv2.estimateAffine2D)):
+            A_cv, inl_cv = fn(src, dst, method=cv2.RANSAC,
+                              ransacReprojThreshold=3.0)
+            res = find_affine(jnp.asarray(src), jnp.asarray(dst),
+                              jnp.asarray(mask), jax.random.key(0),
+                              partial=partial)
+            assert bool(res.ok)
+            A_ours = np.asarray(res.H)[:2]
+            # both transfer a query grid within noise of each other and of
+            # the ground truth
+            assert np.abs(apply(A_ours, grid)
+                          - apply(A_cv, grid)).max() < 1.0
+            assert np.abs(apply(A_ours, grid)
+                          - apply(A_true, grid)).max() < 1.0
+            assert int(res.num_inliers) >= int(inl_cv.sum()) - 6
+
+
 class TestFocal:
     def test_focal_from_homography_ground_truth(self, rot_pair):
         """Our closed form recovers the EXACT ground-truth focal from the
