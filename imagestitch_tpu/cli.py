@@ -24,6 +24,7 @@ def _build_config(args) -> "PipelineConfig":
         CameraConfig)
     cfg = PipelineConfig()
     return cfg.replace(
+        mode=args.mode,
         warp=WarpConfig(kind=args.warp),
         seam=SeamConfig(kind=args.seam,
                         full_components=args.full_seam_components,
@@ -48,6 +49,11 @@ def main(argv=None):
     pd.add_argument("--size", default="480x640")
 
     for q in (ps, pd):
+        q.add_argument("--mode", default="panorama",
+                       choices=["panorama", "scans"],
+                       help="panorama: the reference's rotation model; "
+                            "scans: affine model (cv2.Stitcher SCANS — "
+                            "flatbed/drone scans, no perspective)")
         q.add_argument("--warp", default="cylindrical",
                        choices=["cylindrical", "spherical", "plane",
                                 "fisheye", "stereographic"])

@@ -77,6 +77,18 @@ class MatcherConfig:
     # j - i <= range_width (ordered sequences; O(N*w) instead of O(N^2)
     # pair programs). <= 0 matches all pairs (BestOf2NearestMatcher).
     range_width: int = -1
+    # Pair motion model: "homography" (BestOf2NearestMatcher — centered
+    # coords, RANSAC H, inlier refit) or the SCANS family's
+    # AffineBestOf2NearestMatcher: "affine_partial" (4-DoF similarity,
+    # OpenCV full_affine=false — the cv2.Stitcher SCANS default) /
+    # "affine" (6-DoF). Affine modes estimate on RAW keypoint coords in
+    # one pass, exactly like OpenCV's affine matcher.
+    motion: str = "homography"
+
+    def __post_init__(self):
+        motions = ("homography", "affine", "affine_partial")
+        assert self.motion in motions, \
+            f"unknown matcher motion: {self.motion!r}"
 
 
 @dataclass(frozen=True)
@@ -190,6 +202,12 @@ class BlendConfig:
 
 @dataclass(frozen=True)
 class PipelineConfig:
+    # "panorama": the reference's rotation model (focal recovery, rotation
+    # chaining, rotation warpers). "scans": the cv2.Stitcher SCANS family —
+    # affine pair motion (AffineBestOf2NearestMatcher), affine camera
+    # chaining (AffineBasedEstimator), affine warp (AffineWarper ≡ the
+    # plane projector with K=I, R=G, scale=1); no focal/BA/wave-correct.
+    mode: str = "panorama"
     detector: DetectorConfig = DetectorConfig()
     matcher: MatcherConfig = MatcherConfig()
     ransac: RansacConfig = RansacConfig()
@@ -210,6 +228,10 @@ class PipelineConfig:
     # the chain program; the host Stitcher's MST routes around weak pairs
     # by construction and does not need this)
     chain_splice: bool = False
+
+    def __post_init__(self):
+        assert self.mode in ("panorama", "scans"), \
+            f"unknown pipeline mode: {self.mode!r}"
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

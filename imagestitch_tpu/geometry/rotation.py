@@ -166,6 +166,53 @@ def estimate_cameras_host(Hs: np.ndarray, pair_from: np.ndarray,
     return cams
 
 
+def estimate_affine_host(Hs: np.ndarray, pair_from: np.ndarray,
+                         pair_to: np.ndarray, num_inliers: np.ndarray,
+                         pair_valid: np.ndarray, num_images: int,
+                         return_tree: bool = False):
+    """General-topology AFFINE camera recovery (the cv2.Stitcher SCANS
+    family's AffineBasedEstimator): global transforms G_i chained along
+    the max spanning tree with the center image as the canvas frame.
+
+    Hs: (P, 3, 3) with H[p] mapping pair_from[p]'s RAW pixel coords into
+    pair_to[p]'s (the affine matcher does not center-normalize), last row
+    (0, 0, 1). G_v = G_u · H_uv⁻¹ along tree edges; G_center = I.
+
+    Returns CameraParams carrying the affine model (K = I: focal 1, pp 0,
+    R = G_i — see pipeline._affine_cameras for why the plane projector
+    then IS the affine warp), plus (edges, reachable) if return_tree.
+    """
+    Hs = np.asarray(Hs, np.float64)
+    valid_idx = np.nonzero(np.asarray(pair_valid))[0]
+    edges, center, reachable = max_spanning_tree(
+        num_images,
+        np.asarray(pair_from)[valid_idx],
+        np.asarray(pair_to)[valid_idx],
+        np.asarray(num_inliers)[valid_idx])
+
+    Gmap = {}
+    for p in valid_idx:
+        a, b = int(pair_from[p]), int(pair_to[p])
+        Gmap[(a, b)] = Hs[p]
+        Gmap[(b, a)] = np.linalg.inv(Hs[p])
+
+    G = np.tile(np.eye(3, dtype=np.float64), (num_images, 1, 1))
+    for (u, v) in edges:
+        G[v] = G[u] @ np.linalg.inv(Gmap[(u, v)])
+
+    cams = CameraParams(
+        focal=jnp.ones((num_images,), jnp.float32),
+        aspect=jnp.ones((num_images,), jnp.float32),
+        ppx=jnp.zeros((num_images,), jnp.float32),
+        ppy=jnp.zeros((num_images,), jnp.float32),
+        R=jnp.asarray(G, jnp.float32),
+        t=jnp.zeros((num_images, 3), jnp.float32),
+    )
+    if return_tree:
+        return cams, edges, reachable
+    return cams
+
+
 def estimate_cameras_spliced(H1: jnp.ndarray, valid1: jnp.ndarray,
                              good1: jnp.ndarray, H2: jnp.ndarray,
                              valid2: jnp.ndarray, good2: jnp.ndarray,

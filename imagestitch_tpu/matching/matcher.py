@@ -108,14 +108,25 @@ def match_pair(f1: ImageFeatures, f2: ImageFeatures, key: jax.Array,
     center-normalized points into f2's."""
     pairs, dist, valid = match_pair_descriptors(f1, f2, cfg)
 
-    # center-normalize (ref :170-178 subtracts the image center)
-    c1 = 0.5 * jnp.flip(f1.img_size.astype(jnp.float32))   # (cx, cy)
-    c2 = 0.5 * jnp.flip(f2.img_size.astype(jnp.float32))
-    src = f1.xy[pairs[:, 0]] - c1
-    dst = f2.xy[pairs[:, 1]] - c2
+    if cfg.motion == "homography":
+        # center-normalize (ref :170-178 subtracts the image center)
+        c1 = 0.5 * jnp.flip(f1.img_size.astype(jnp.float32))   # (cx, cy)
+        c2 = 0.5 * jnp.flip(f2.img_size.astype(jnp.float32))
+        src = f1.xy[pairs[:, 0]] - c1
+        dst = f2.xy[pairs[:, 1]] - c2
+    else:
+        # AffineBestOf2NearestMatcher estimates on RAW keypoint coords
+        # (cv2 matchers.cpp — no center shift), one pass, no inlier refit
+        src = f1.xy[pairs[:, 0]]
+        dst = f2.xy[pairs[:, 1]]
 
     enough = jnp.sum(valid.astype(jnp.int32)) >= cfg.num_matches_thresh1
-    res = find_homography(src, dst, valid, key, rcfg)
+    if cfg.motion == "homography":
+        res = find_homography(src, dst, valid, key, rcfg)
+    else:
+        from imagestitch_tpu.geometry.affine import find_affine
+        res = find_affine(src, dst, valid, key, rcfg,
+                          partial=cfg.motion == "affine_partial")
     h_ok = res.ok & enough
 
     num_matches = jnp.sum(valid.astype(jnp.int32))
@@ -125,19 +136,24 @@ def match_pair(f1: ImageFeatures, f2: ImageFeatures, key: jax.Array,
     conf = jnp.where(conf > 3.0, 0.0, conf)
     conf = jnp.where(h_ok, conf, 0.0)
 
-    # literal second findHomography pass on inliers only (ref :201-229):
-    # gated on num_inliers >= num_matches_thresh2, replaces H but keeps the
-    # first pass's inlier mask/count/confidence, exactly like the
-    # reference. On the (clean) inlier set the reference's ADAPTIVE RANSAC
-    # collapses to a handful of iterations (RANSACUpdateNumIters with
-    # inlier ratio ~1), so the fixed hypothesis batch shrinks accordingly
-    # instead of re-paying the full first-pass batch.
-    rcfg_refit = dataclasses.replace(
-        rcfg, num_hypotheses=min(256, rcfg.num_hypotheses))
-    refit = find_homography(src, dst, res.inliers & valid,
-                            jax.random.fold_in(key, 1), rcfg_refit)
-    do_refit = (res.num_inliers >= cfg.num_matches_thresh2) & refit.ok
-    H = jnp.where(do_refit, refit.H, res.H)
+    if cfg.motion == "homography":
+        # literal second findHomography pass on inliers only (ref
+        # :201-229): gated on num_inliers >= num_matches_thresh2, replaces
+        # H but keeps the first pass's inlier mask/count/confidence,
+        # exactly like the reference. On the (clean) inlier set the
+        # reference's ADAPTIVE RANSAC collapses to a handful of iterations
+        # (RANSACUpdateNumIters with inlier ratio ~1), so the fixed
+        # hypothesis batch shrinks accordingly instead of re-paying the
+        # full first-pass batch. (The affine matcher has no second pass —
+        # its LS refit already is the exact minimizer.)
+        rcfg_refit = dataclasses.replace(
+            rcfg, num_hypotheses=min(256, rcfg.num_hypotheses))
+        refit = find_homography(src, dst, res.inliers & valid,
+                                jax.random.fold_in(key, 1), rcfg_refit)
+        do_refit = (res.num_inliers >= cfg.num_matches_thresh2) & refit.ok
+        H = jnp.where(do_refit, refit.H, res.H)
+    else:
+        H = res.H
 
     return MatchesInfo(
         src_idx=jnp.int32(src_idx), dst_idx=jnp.int32(dst_idx),

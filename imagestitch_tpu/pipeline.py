@@ -85,6 +85,46 @@ def _upscale_cameras(cams: CameraParams, s: float) -> CameraParams:
                         ppy=cams.ppy * s)
 
 
+def _normalize_scans(cfg: PipelineConfig) -> PipelineConfig:
+    """SCANS mode implies the affine matcher motion and the affine warp
+    (cv2.Stitcher SCANS: AffineBestOf2NearestMatcher(full_affine=false) +
+    AffineWarper ≡ the plane projector driven by affine cameras).
+    Idempotent; a no-op for panorama mode."""
+    if cfg.mode != "scans":
+        return cfg
+    import dataclasses as _dc
+    m = cfg.matcher
+    if m.motion == "homography":
+        m = _dc.replace(m, motion="affine_partial")
+    return cfg.replace(matcher=m,
+                       warp=_dc.replace(cfg.warp, kind="plane"))
+
+
+def _affine_cameras(Gs: jnp.ndarray) -> CameraParams:
+    """CameraParams carrying global affine transforms: K = I (focal 1,
+    pp 0) and R = G_i (image-i pixel coords -> canvas coords). The plane
+    projector's backward map K·R⁻¹·[u, v, 1] then IS the affine warp
+    G_i⁻¹·[u, v, 1] at scale 1 — no kernel changes (the Pallas warp
+    already takes k_rinv as data)."""
+    n = Gs.shape[0]
+    return CameraParams(
+        focal=jnp.ones((n,), jnp.float32),
+        aspect=jnp.ones((n,), jnp.float32),
+        ppx=jnp.zeros((n,), jnp.float32),
+        ppy=jnp.zeros((n,), jnp.float32),
+        R=Gs.astype(jnp.float32),
+        t=jnp.zeros((n, 3), jnp.float32))
+
+
+def _upscale_affine(Gs: jnp.ndarray, s: float) -> jnp.ndarray:
+    """Rescale work-scale global affines to full resolution:
+    G_full = S·G·S⁻¹ with S = diag(s, s, 1)."""
+    S = jnp.asarray([[s, 0, 0], [0, s, 0], [0, 0, 1]], jnp.float32)
+    Sinv = jnp.asarray([[1 / s, 0, 0], [0, 1 / s, 0], [0, 0, 1]],
+                       jnp.float32)
+    return jnp.einsum("ab,nbc,cd->nad", S, Gs, Sinv)
+
+
 def _pano_canvas_shape(hw: tuple[int, int], n_images: int,
                        cfg: PipelineConfig) -> tuple[int, int]:
     """Static pano canvas capacity for the jitted path."""
@@ -323,6 +363,7 @@ def stitch_pair_front_impl(img1: jnp.ndarray, img2: jnp.ndarray,
     cv2.detail pipeline): every per-image stage runs on each image's own
     static shape; only the shared-canvas warp pads to the common extent
     (edge-replicate, with true sizes passed as data)."""
+    cfg = _normalize_scans(cfg)
     H1, W1 = img1.shape[:2]
     H2, W2 = img2.shape[:2]
     H, W = max(H1, H2), max(W1, W2)
@@ -350,27 +391,39 @@ def stitch_pair_front_impl(img1: jnp.ndarray, img2: jnp.ndarray,
     # 3. match + homography (ref :307-308 of the matching project)
     mi = match_pair(f1, f2, key, 0, 1, cfg.matcher, cfg.ransac)
 
-    # 4. camera recovery over the 2-chain (ref 恢复相机内参数.cpp:313-321)
-    sizes = jnp.asarray([[wdim(H1), wdim(W1)], [wdim(H2), wdim(W2)]],
-                        jnp.int32)
-    cams = estimate_cameras(mi.H[None], mi.h_valid[None], sizes)
+    if cfg.mode == "scans":
+        # SCANS (affine) cameras: the canvas is image 0's frame; the raw-
+        # coordinate pair affine H maps image-0 -> image-1 pixels, so
+        # G_1 = H⁻¹ (image-1 pixels -> canvas). For a 2-chain the pair's
+        # LS fit already IS the joint affine bundle optimum, so no BA.
+        eye = jnp.eye(3, dtype=jnp.float32)
+        G1 = jnp.where(mi.h_valid, jnp.linalg.inv(mi.H), eye)
+        Gs = jnp.stack([eye, G1])
+        if ws < 1.0:
+            Gs = _upscale_affine(Gs, 1.0 / ws)
+        cams = _affine_cameras(Gs)
+    else:
+        # 4. camera recovery over the 2-chain (ref 恢复相机内参数.cpp:313-321)
+        sizes = jnp.asarray([[wdim(H1), wdim(W1)], [wdim(H2), wdim(W2)]],
+                            jnp.int32)
+        cams = estimate_cameras(mi.H[None], mi.h_valid[None], sizes)
 
-    # 5. bundle adjustment (stock BundleAdjusterRay in ref :1064-1067),
-    # still at work scale (keypoint coords live there)
-    if cfg.camera.ba_refine:
-        src_pts = f1.xy[mi.pairs[:, 0]][None]
-        dst_pts = f2.xy[mi.pairs[:, 1]][None]
-        ptv = (mi.inliers & mi.valid)[None]
-        cams = bundle_adjust(
-            cams, src_pts, dst_pts, ptv,
-            jnp.asarray([0], jnp.int32), jnp.asarray([1], jnp.int32),
-            (mi.confidence > cfg.camera.ba_conf_thresh)[None],
-            cfg.camera.ba_iters, cfg.camera.ba_kind)
-    if cfg.camera.wave_correct:
-        cams = cams.replace(
-                R=wave_correct(cams.R, cfg.camera.wave_kind))
-    if ws < 1.0:
-        cams = _upscale_cameras(cams, 1.0 / ws)
+        # 5. bundle adjustment (stock BundleAdjusterRay in ref :1064-1067),
+        # still at work scale (keypoint coords live there)
+        if cfg.camera.ba_refine:
+            src_pts = f1.xy[mi.pairs[:, 0]][None]
+            dst_pts = f2.xy[mi.pairs[:, 1]][None]
+            ptv = (mi.inliers & mi.valid)[None]
+            cams = bundle_adjust(
+                cams, src_pts, dst_pts, ptv,
+                jnp.asarray([0], jnp.int32), jnp.asarray([1], jnp.int32),
+                (mi.confidence > cfg.camera.ba_conf_thresh)[None],
+                cfg.camera.ba_iters, cfg.camera.ba_kind)
+        if cfg.camera.wave_correct:
+            cams = cams.replace(
+                    R=wave_correct(cams.R, cfg.camera.wave_kind))
+        if ws < 1.0:
+            cams = _upscale_cameras(cams, 1.0 / ws)
 
     # 6. warp at scale = focal (ref :1093-1109, 圆柱面投影.cpp:222)
     scale = jnp.median(cams.focal)
@@ -429,6 +482,7 @@ def stitch_chain_front_impl(imgs: jnp.ndarray, key: jax.Array,
     (all-pairs + MST) stay on the host `Stitcher` path.
     Returns (warped (N,Hc,Wc,3), masks, corner, metrics).
     """
+    cfg = _normalize_scans(cfg)
     N, H, W = imgs.shape[:3]
     imgs = imgs.astype(jnp.float32)
     ws = _work_scale(cfg, (H, W))
@@ -462,7 +516,23 @@ def stitch_chain_front_impl(imgs: jnp.ndarray, key: jax.Array,
     good = mis.h_valid & (mis.confidence > cfg.matcher.conf_thresh)
     sizes = jnp.broadcast_to(jnp.asarray([Hw, Ww], jnp.int32), (N, 2))
 
-    if cfg.chain_splice and N >= 3:
+    if cfg.mode == "scans":
+        # SCANS: chain global affines G_{i+1} = G_i · H_i⁻¹ (canvas =
+        # image 0's frame; H_i is the raw-coordinate pair affine). Broken
+        # links mark downstream images unreachable like the rotation chain.
+        reachable = jnp.concatenate([
+            jnp.ones((1,), bool),
+            jnp.cumprod(good.astype(jnp.int32)).astype(bool)])
+        eye = jnp.eye(3, dtype=jnp.float32)
+        Gs = [eye]
+        for i in range(N - 1):
+            step = jnp.where(mis.h_valid[i], jnp.linalg.inv(mis.H[i]), eye)
+            Gs.append(Gs[-1] @ step)
+        Gs = jnp.stack(Gs)
+        if ws < 1.0:
+            Gs = _upscale_affine(Gs, 1.0 / ws)
+        cams = _affine_cameras(Gs)
+    elif cfg.chain_splice and N >= 3:
         idx2 = jnp.arange(N - 2, dtype=jnp.int32)
         # fold values N-1.. keep skip-pair keys distinct from the
         # consecutive pairs' folds 0..N-2
@@ -487,21 +557,23 @@ def stitch_chain_front_impl(imgs: jnp.ndarray, key: jax.Array,
         cams = estimate_cameras(mis.H, mis.h_valid, sizes)
         mis_ba = mis
 
-    if cfg.camera.ba_refine:
-        src_pts = jax.vmap(lambda i, p: feats.xy[i][p[:, 0]])(
-            mis_ba.src_idx, mis_ba.pairs)
-        dst_pts = jax.vmap(lambda j, p: feats.xy[j][p[:, 1]])(
-            mis_ba.dst_idx, mis_ba.pairs)
-        cams = bundle_adjust(
-            cams, src_pts, dst_pts, mis_ba.inliers & mis_ba.valid,
-            mis_ba.src_idx, mis_ba.dst_idx,
-            (mis_ba.confidence > cfg.camera.ba_conf_thresh) & mis_ba.h_valid,
-            cfg.camera.ba_iters, cfg.camera.ba_kind)
-    if cfg.camera.wave_correct:
-        cams = cams.replace(
-                R=wave_correct(cams.R, cfg.camera.wave_kind))
-    if ws < 1.0:
-        cams = _upscale_cameras(cams, 1.0 / ws)
+    if cfg.mode != "scans":
+        if cfg.camera.ba_refine:
+            src_pts = jax.vmap(lambda i, p: feats.xy[i][p[:, 0]])(
+                mis_ba.src_idx, mis_ba.pairs)
+            dst_pts = jax.vmap(lambda j, p: feats.xy[j][p[:, 1]])(
+                mis_ba.dst_idx, mis_ba.pairs)
+            cams = bundle_adjust(
+                cams, src_pts, dst_pts, mis_ba.inliers & mis_ba.valid,
+                mis_ba.src_idx, mis_ba.dst_idx,
+                (mis_ba.confidence > cfg.camera.ba_conf_thresh)
+                & mis_ba.h_valid,
+                cfg.camera.ba_iters, cfg.camera.ba_kind)
+        if cfg.camera.wave_correct:
+            cams = cams.replace(
+                    R=wave_correct(cams.R, cfg.camera.wave_kind))
+        if ws < 1.0:
+            cams = _upscale_cameras(cams, 1.0 / ws)
 
     scale = jnp.median(cams.focal)
     canvas_hw = _pano_canvas_shape((H, W), N, cfg)
@@ -672,7 +744,7 @@ class Stitcher:
     """
 
     def __init__(self, config: PipelineConfig | None = None):
-        self.cfg = config or PipelineConfig()
+        self.cfg = _normalize_scans(config or PipelineConfig())
         self._detect = _batched_detect(self.cfg.detector)
         self._match_all = _jitted_match_all(self.cfg.matcher, self.cfg.ransac)
 
@@ -757,29 +829,41 @@ class Stitcher:
         with timer.stage("cameras"):
             conf = np.asarray(ms.confidence)
             keep = conf > cfg.matcher.conf_thresh
-            cams, tree_edges, reachable = estimate_cameras_host(
-                np.asarray(ms.H), np.asarray(ms.src_idx),
-                np.asarray(ms.dst_idx), np.asarray(ms.num_inliers),
-                np.asarray(ms.h_valid) & keep,
-                np.asarray(work_sizes), return_tree=True)
+            if cfg.mode == "scans":
+                from imagestitch_tpu.geometry.rotation import (
+                    estimate_affine_host)
+                cams, tree_edges, reachable = estimate_affine_host(
+                    np.asarray(ms.H), np.asarray(ms.src_idx),
+                    np.asarray(ms.dst_idx), np.asarray(ms.num_inliers),
+                    np.asarray(ms.h_valid) & keep, n, return_tree=True)
+            else:
+                cams, tree_edges, reachable = estimate_cameras_host(
+                    np.asarray(ms.H), np.asarray(ms.src_idx),
+                    np.asarray(ms.dst_idx), np.asarray(ms.num_inliers),
+                    np.asarray(ms.h_valid) & keep,
+                    np.asarray(work_sizes), return_tree=True)
 
-        if cfg.camera.ba_refine:
-            with timer.stage("bundle_adjust"):
-                src_pts = jax.vmap(lambda i, p: feats.xy[i][p[:, 0]])(
-                    ms.src_idx, ms.pairs)
-                dst_pts = jax.vmap(lambda j, p: feats.xy[j][p[:, 1]])(
-                    ms.dst_idx, ms.pairs)
-                cams = bundle_adjust(
-                    cams, src_pts, dst_pts, ms.inliers & ms.valid,
-                    ms.src_idx, ms.dst_idx,
-                    jnp.asarray(keep) & ms.h_valid,
-                    cfg.camera.ba_iters, cfg.camera.ba_kind)
-                jax.block_until_ready(cams.R)
-        if cfg.camera.wave_correct:
-            cams = cams.replace(
-                R=wave_correct(cams.R, cfg.camera.wave_kind))
-        if ws < 1.0:
-            cams = _upscale_cameras(cams, 1.0 / ws)
+        if cfg.mode == "scans":
+            if ws < 1.0:
+                cams = cams.replace(R=_upscale_affine(cams.R, 1.0 / ws))
+        else:
+            if cfg.camera.ba_refine:
+                with timer.stage("bundle_adjust"):
+                    src_pts = jax.vmap(lambda i, p: feats.xy[i][p[:, 0]])(
+                        ms.src_idx, ms.pairs)
+                    dst_pts = jax.vmap(lambda j, p: feats.xy[j][p[:, 1]])(
+                        ms.dst_idx, ms.pairs)
+                    cams = bundle_adjust(
+                        cams, src_pts, dst_pts, ms.inliers & ms.valid,
+                        ms.src_idx, ms.dst_idx,
+                        jnp.asarray(keep) & ms.h_valid,
+                        cfg.camera.ba_iters, cfg.camera.ba_kind)
+                    jax.block_until_ready(cams.R)
+            if cfg.camera.wave_correct:
+                cams = cams.replace(
+                    R=wave_correct(cams.R, cfg.camera.wave_kind))
+            if ws < 1.0:
+                cams = _upscale_cameras(cams, 1.0 / ws)
         dump("cameras", focal=cams.focal, R=cams.R, ppx=cams.ppx,
              ppy=cams.ppy)
 
@@ -798,7 +882,10 @@ class Stitcher:
             imgs = jax.vmap(lambda im: jax.vmap(
                 lambda c: resize_linear_mxu(c, (Hcs, Wcs)),
                 in_axes=2, out_axes=2)(im))(imgs)
-            cams = _upscale_cameras(cams, cs)
+            if cfg.mode == "scans":
+                cams = cams.replace(R=_upscale_affine(cams.R, cs))
+            else:
+                cams = _upscale_cameras(cams, cs)
             if full_sizes is not None:
                 full_sizes = np.maximum(
                     np.round(full_sizes * cs), 1).astype(np.int32)

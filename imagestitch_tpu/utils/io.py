@@ -159,6 +159,39 @@ def synthetic_sequence(n: int, height: int = 480, width: int = 640,
     return views, shift
 
 
+def synthetic_affine_pair(height: int = 480, width: int = 640,
+                          angle_deg: float = 6.0, scale: float = 1.05,
+                          tx: float | None = None, ty: float = 10.0,
+                          seed: int = 7):
+    """Two views of one planar scene related by a SIMILARITY transform —
+    the flatbed/drone "scans" fixture (cv2.Stitcher SCANS geometry: no
+    perspective, in-plane rotation + scale + translation).
+
+    Returns (img1, img2, A_true (2, 3) float64) with
+    pixel_view2 = A_true · [pixel_view1, 1]."""
+    if tx is None:
+        tx = 0.45 * width
+    th = np.deg2rad(angle_deg)
+    # M maps view2 pixels -> scene pixels (scene = view1 frame extended)
+    c, s = np.cos(th), np.sin(th)
+    M = np.array([[scale * c, -scale * s, tx],
+                  [scale * s, scale * c, ty],
+                  [0.0, 0.0, 1.0]])
+    # scene large enough to cover view2's footprint
+    corners = np.array([[0, 0, 1], [width, 0, 1], [0, height, 1],
+                        [width, height, 1]], np.float64) @ M.T
+    sw = int(np.ceil(max(width, corners[:, 0].max()))) + 2
+    sh = int(np.ceil(max(height, corners[:, 1].max()))) + 2
+    scene = _render_scene(sh, sw, seed).astype(np.float32)
+    img1 = np.clip(scene[:height, :width], 0, 255).astype(np.uint8)
+    ys, xs = np.mgrid[0:height, 0:width].astype(np.float64)
+    px = M[0, 0] * xs + M[0, 1] * ys + M[0, 2]
+    py = M[1, 0] * xs + M[1, 1] * ys + M[1, 2]
+    img2 = np.clip(_bilinear_sample(scene, px, py), 0, 255).astype(np.uint8)
+    A_true = np.linalg.inv(M)[:2]          # view1 (scene) -> view2 pixels
+    return img1, img2, A_true
+
+
 def synthetic_grid(rows: int, cols: int, height: int = 480, width: int = 640,
                    overlap: float = 0.5, seed: int = 7):
     """rows x cols overlapping viewports tiling one large scene in BOTH

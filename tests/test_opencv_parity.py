@@ -481,6 +481,37 @@ class TestEndToEnd:
         assert abs(pano.shape[1] - pano_cv.shape[1]) / pano_cv.shape[1] < 0.12
         assert abs(pano.shape[0] - pano_cv.shape[0]) / pano_cv.shape[0] < 0.12
 
+    def test_scans_mode_vs_cv2_stitcher(self):
+        """cv2.Stitcher SCANS (AffineBestOf2NearestMatcher +
+        AffineBasedEstimator + AffineWarper) vs our mode='scans' on a
+        similarity-related pair: our pano must match the ANALYTIC canvas
+        (ground-truth affine known) within a few percent and cv2's within
+        ~12% (cv2's affine BA + compose pipeline trims borders)."""
+        from imagestitch_tpu import stitch_pair
+        from imagestitch_tpu.config import PipelineConfig
+        from imagestitch_tpu.utils.io import synthetic_affine_pair
+
+        H, W = 240, 320
+        img1, img2, A_true = synthetic_affine_pair(H, W, angle_deg=6.0,
+                                                   scale=1.04, seed=5)
+        st = cv2.Stitcher_create(cv2.Stitcher_SCANS)
+        status, pano_cv = st.stitch(
+            [cv2.cvtColor(img1, cv2.COLOR_RGB2BGR),
+             cv2.cvtColor(img2, cv2.COLOR_RGB2BGR)])
+        assert status == cv2.Stitcher_OK
+        pano, m = stitch_pair(img1, img2, PipelineConfig(mode="scans"))
+        assert m["h_valid"]
+
+        A = np.vstack([A_true, [0.0, 0.0, 1.0]])
+        corners = np.array([[0, 0, 1], [W, 0, 1], [0, H, 1], [W, H, 1]],
+                           np.float64) @ np.linalg.inv(A).T
+        exp_w = max(W, corners[:, 0].max()) - min(0.0, corners[:, 0].min())
+        exp_h = max(H, corners[:, 1].max()) - min(0.0, corners[:, 1].min())
+        assert abs(pano.shape[1] - exp_w) < 0.04 * exp_w + 6
+        assert abs(pano.shape[0] - exp_h) < 0.04 * exp_h + 6
+        assert abs(pano.shape[1] - pano_cv.shape[1]) / pano_cv.shape[1] < 0.12
+        assert abs(pano.shape[0] - pano_cv.shape[0]) / pano_cv.shape[0] < 0.12
+
     def test_full_auto_n4_vs_cv2_stitcher(self):
         """N-image full-auto: cv2.Stitcher on a 4-view pan sequence vs our
         host Stitcher (all-pairs matching, MST cameras, tree-ordered

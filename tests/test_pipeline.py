@@ -239,6 +239,50 @@ def test_stitch_pair_ba_reproj():
     assert pano.std() > 20
 
 
+def test_stitch_pair_scans_mode():
+    """SCANS (affine) mode on a similarity-related pair: the recovered
+    canvas must match the ANALYTIC union of the two view footprints under
+    the ground-truth affine (the affine warp is exact — no projective
+    ambiguity), and the affine matcher must validate the pair."""
+    from imagestitch_tpu.utils.io import synthetic_affine_pair
+
+    H, W = 192, 256
+    img1, img2, A_true = synthetic_affine_pair(H, W, angle_deg=6.0,
+                                               scale=1.04, seed=5)
+    cfg = FAST_CFG.replace(mode="scans")
+    pano, m = stitch_pair(img1, img2, cfg)
+    assert m["h_valid"]
+    assert m["num_inliers"] > 15
+
+    A = np.vstack([A_true, [0.0, 0.0, 1.0]])
+    G1 = np.linalg.inv(A)                  # view2 pixels -> canvas
+    corners = np.array([[0, 0, 1], [W, 0, 1], [0, H, 1], [W, H, 1]],
+                       np.float64) @ G1.T
+    exp_w = max(W, corners[:, 0].max()) - min(0.0, corners[:, 0].min())
+    exp_h = max(H, corners[:, 1].max()) - min(0.0, corners[:, 1].min())
+    assert abs(pano.shape[1] - exp_w) < 0.04 * exp_w + 6
+    assert abs(pano.shape[0] - exp_h) < 0.04 * exp_h + 6
+    assert pano.std() > 20
+
+
+def test_stitcher_and_chain_scans_sequence():
+    """N=4 translation sequence (an affine subset) through BOTH scans
+    drivers: the host Stitcher (MST affine chaining) and the jitted
+    fixed-N chain. Both panos must span the full sweep."""
+    from imagestitch_tpu import stitch, stitch_chain
+
+    views, shift = synthetic_sequence(4, 160, 224, overlap=0.5, seed=50)
+    cfg = ST_CFG.replace(mode="scans")
+    pano, m = stitch(views, cfg)
+    assert pano.shape[1] > 224 + 3 * shift - 24
+    assert all(bool(r) for r in np.asarray(m["reachable"]))
+
+    cfg2 = CHAIN_CFG.replace(mode="scans")
+    pano2, m2 = stitch_chain(views, cfg2)
+    assert pano2.shape[1] > 224 + 3 * shift - 24
+    assert all(bool(v) for v in m2["h_valid"])
+
+
 def test_stitch_deterministic():
     img1, img2, _ = synthetic_pair(192, 256, overlap=0.5, seed=25)
     p1, m1 = stitch_pair(img1, img2, FAST_CFG, seed=7)
