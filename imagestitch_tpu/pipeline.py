@@ -844,6 +844,23 @@ class Stitcher:
                     np.asarray(work_sizes), return_tree=True)
 
         if cfg.mode == "scans":
+            if cfg.camera.ba_refine:
+                with timer.stage("bundle_adjust"):
+                    from imagestitch_tpu.geometry.bundle import (
+                        bundle_adjust_affine)
+                    src_pts = jax.vmap(lambda i, p: feats.xy[i][p[:, 0]])(
+                        ms.src_idx, ms.pairs)
+                    dst_pts = jax.vmap(lambda j, p: feats.xy[j][p[:, 1]])(
+                        ms.dst_idx, ms.pairs)
+                    anchor = tree_edges[0][0] if tree_edges else 0
+                    Gr = bundle_adjust_affine(
+                        np.asarray(cams.R), np.asarray(src_pts),
+                        np.asarray(dst_pts),
+                        np.asarray(ms.inliers & ms.valid),
+                        np.asarray(ms.src_idx), np.asarray(ms.dst_idx),
+                        np.asarray(ms.h_valid) & keep, anchor=anchor,
+                        partial=cfg.matcher.motion == "affine_partial")
+                    cams = cams.replace(R=jnp.asarray(Gr))
             if ws < 1.0:
                 cams = cams.replace(R=_upscale_affine(cams.R, 1.0 / ws))
         else:

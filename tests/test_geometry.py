@@ -387,6 +387,63 @@ def test_find_affine_rejects_outliers():
         assert np.array_equal(np.asarray(res.H), np.asarray(res2.H))
 
 
+def test_bundle_adjust_affine_joint_ls():
+    """The linear affine BA recovers ground-truth similarity transforms of
+    3 cameras from noisy correspondences of ALL pairs, beating the
+    chain-only initialization (which never sees the 0-2 skip pair)."""
+    from imagestitch_tpu.geometry.bundle import bundle_adjust_affine
+
+    rng = np.random.default_rng(4)
+
+    def sim(th, s, tx, ty):
+        c, sn = np.cos(th), np.sin(th)
+        return np.array([[s * c, -s * sn, tx], [s * sn, s * c, ty],
+                         [0, 0, 1.0]])
+
+    # ground-truth globals (camera i pixels -> canvas), camera 0 = anchor
+    G_true = [np.eye(3), sim(0.06, 1.02, 110.0, 8.0),
+              sim(0.12, 1.05, 215.0, 20.0)]
+    pairs = [(0, 1), (1, 2), (0, 2)]
+    T = 64
+    src, dst, ptv = [], [], []
+    for (u, v) in pairs:
+        canvas = rng.uniform(0, 400, (T, 2))
+        hu = np.concatenate([canvas, np.ones((T, 1))], 1)
+        xu = (hu @ np.linalg.inv(G_true[u]).T)[:, :2]
+        xv = (hu @ np.linalg.inv(G_true[v]).T)[:, :2]
+        src.append(xu + rng.normal(0, 0.3, (T, 2)))
+        dst.append(xv + rng.normal(0, 0.3, (T, 2)))
+        ptv.append(np.ones(T, bool))
+    src, dst, ptv = np.stack(src), np.stack(dst), np.stack(ptv)
+    pf = np.array([p[0] for p in pairs])
+    pt = np.array([p[1] for p in pairs])
+    pv = np.ones(3, bool)
+
+    # chain-only init: G2 from composing the two noisy pair fits would
+    # drift; here just perturb the truth to simulate chaining error
+    G0 = np.stack([G_true[0],
+                   G_true[1] @ sim(0.004, 1.002, 1.5, -1.0),
+                   G_true[2] @ sim(-0.006, 0.997, 3.0, 2.0)])
+
+    Gr = bundle_adjust_affine(G0, src, dst, ptv, pf, pt, pv,
+                              anchor=0, partial=True)
+
+    def err(G):
+        # mean canvas-space disagreement over all pairs' correspondences
+        tot = 0.0
+        for p, (u, v) in enumerate(pairs):
+            hu = np.concatenate([src[p], np.ones((T, 1))], 1) @ G[u].T
+            hv = np.concatenate([dst[p], np.ones((T, 1))], 1) @ G[v].T
+            tot += np.abs(hu[:, :2] - hv[:, :2]).mean()
+        return tot / len(pairs)
+
+    assert err(Gr) < err(G0) * 0.7
+    for i in (1, 2):
+        assert np.abs(Gr[i] - G_true[i]).max() < 1.0   # translations ~0.1px
+    # anchor untouched
+    assert np.allclose(Gr[0], G0[0])
+
+
 def test_wave_correct_identity_set():
     R = jnp.tile(jnp.eye(3)[None], (3, 1, 1))
     out = np.asarray(wave_correct(R))

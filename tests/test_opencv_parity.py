@@ -521,14 +521,33 @@ class TestEndToEnd:
         from imagestitch_tpu.config import PipelineConfig
         from imagestitch_tpu.utils.io import synthetic_sequence
 
-        views, _ = synthetic_sequence(4, 240, 320, overlap=0.6, seed=5)
+        views, shift = synthetic_sequence(4, 240, 320, overlap=0.6, seed=5)
         views = [np.asarray(v) for v in views]
-        st = cv2.Stitcher_create(cv2.Stitcher_PANORAMA)
-        status, pano_cv = st.stitch(
-            [cv2.cvtColor(v, cv2.COLOR_RGB2BGR) for v in views])
-        assert status == cv2.Stitcher_OK
         pano, m = Stitcher(PipelineConfig()).stitch(views)
         assert all(m["reachable"])
+        # ours must span the full 4-view sweep (analytic width: W + 3*shift
+        # up to the cylindrical bend)
+        exp_w = 320 + 3 * shift
+        assert abs(pano.shape[1] - exp_w) / exp_w < 0.12
+
+        # cv2.Stitcher's RANSAC is unseeded and occasionally collapses the
+        # sequence (observed: a 119-px "pano" with status OK); retry a few
+        # times and only compare when the oracle actually composed the sweep
+        bgr = [cv2.cvtColor(v, cv2.COLOR_RGB2BGR) for v in views]
+        pano_cv = None
+        for _ in range(3):
+            st = cv2.Stitcher_create(cv2.Stitcher_PANORAMA)
+            status, p = st.stitch(bgr)
+            if status == cv2.Stitcher_OK and (
+                    pano_cv is None or p.shape[1] > pano_cv.shape[1]):
+                pano_cv = p
+            if pano_cv is not None and pano_cv.shape[1] > 320 + shift:
+                break
+        assert pano_cv is not None
+        if pano_cv.shape[1] <= 320 + shift:
+            import pytest as _pytest
+            _pytest.skip("cv2.Stitcher failed to compose the sweep "
+                         f"(width {pano_cv.shape[1]}) — flaky oracle")
         assert abs(pano.shape[1] - pano_cv.shape[1]) / pano_cv.shape[1] < 0.12
         assert abs(pano.shape[0] - pano_cv.shape[0]) / pano_cv.shape[0] < 0.12
 
