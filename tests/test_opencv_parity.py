@@ -108,7 +108,69 @@ class TestHomography:
         assert _h_dist(H_ours, H_true, 400, 400) < 1e-2
 
 
+def _cv_features_to_ours(feat, img, cap=512):
+    """cv2.detail.ImageFeatures -> our ImageFeatures pytree (bit-unpacked
+    descriptors preserve pairwise Hamming distances exactly)."""
+    from imagestitch_tpu.types import ImageFeatures
+
+    kps, desc = feat.keypoints, feat.descriptors
+    if isinstance(desc, cv2.UMat):
+        desc = desc.get()
+    n = len(kps)
+    xy = np.zeros((cap, 2), np.float32)
+    xy[:n] = [k.pt for k in kps]
+    bits = np.zeros((cap, 256), np.uint8)
+    bits[:n] = np.unpackbits(np.asarray(desc, np.uint8), axis=1)
+    h, w = img.shape[:2]
+    return ImageFeatures(
+        xy=jnp.asarray(xy),
+        response=jnp.zeros((cap,), jnp.float32),
+        angle=jnp.zeros((cap,), jnp.float32),
+        size=jnp.zeros((cap,), jnp.float32),
+        level=jnp.zeros((cap,), jnp.int32),
+        valid=jnp.asarray(np.arange(cap) < n),
+        descriptors=jnp.asarray(bits),
+        img_size=jnp.asarray([h, w], jnp.int32))
+
+
 class TestMatcher:
+    def test_affine_best_of_2_nearest_vs_opencv(self):
+        """Identical ORB features through cv2.detail's
+        AffineBestOf2NearestMatcher (both full_affine settings) and our
+        affine matcher motions: estimated transforms agree with each other
+        AND the ground-truth similarity; counts/confidence within the
+        exact-Hamming-vs-LSH spread."""
+        from imagestitch_tpu.matching.matcher import match_pair
+        from imagestitch_tpu.config import MatcherConfig
+        from imagestitch_tpu.utils.io import synthetic_affine_pair
+
+        img1, img2, A_true = synthetic_affine_pair(360, 480, angle_deg=6.0,
+                                                   scale=1.04, seed=11)
+        finder = cv2.ORB_create(nfeatures=500)
+        features = [cv2.detail.computeImageFeatures2(finder, im)
+                    for im in (img1, img2)]
+        f1 = _cv_features_to_ours(features[0], img1)
+        f2 = _cv_features_to_ours(features[1], img2)
+
+        for full, motion in ((False, "affine_partial"), (True, "affine")):
+            matcher = cv2.detail_AffineBestOf2NearestMatcher(full, False,
+                                                             0.3)
+            mi = matcher.apply2(features)[1]
+            res = match_pair(f1, f2, jax.random.key(0),
+                             cfg=MatcherConfig(motion=motion))
+            assert bool(res.h_valid)
+            A_ours = np.asarray(res.H)[:2]
+            A_cv = np.asarray(mi.H)[:2]
+            assert np.abs(A_ours[:, :2] - A_cv[:, :2]).max() < 0.01
+            assert np.abs(A_ours[:, 2] - A_cv[:, 2]).max() < 2.5
+            assert np.abs(A_ours[:, :2] - A_true[:, :2]).max() < 0.01
+            assert np.abs(A_ours[:, 2] - A_true[:, 2]).max() < 2.5
+            n_cv = len(mi.matches)
+            assert abs(int(res.num_matches()) - n_cv) <= 0.1 * n_cv
+            # cv's full-affine RANSAC keeps fewer inliers than our exact
+            # LS refit (131 vs 145 observed), so confidences spread more
+            assert abs(float(res.confidence) - mi.confidence) < 0.45
+
     def test_best_of_2_nearest_vs_opencv(self, rot_pair):
         """Identical ORB keypoints+descriptors (cv2's own) through
         cv2.detail.BestOf2NearestMatcher and our match_pair: match count,
@@ -118,7 +180,6 @@ class TestMatcher:
         Pins the ratio test, cross-check dedup, center normalization, and
         confidence formula (ref 特征点匹配.cpp:154-229)."""
         from imagestitch_tpu.matching.matcher import match_pair
-        from imagestitch_tpu.types import ImageFeatures
 
         img1, img2, H_true, _ = rot_pair
         finder = cv2.ORB_create(nfeatures=500)
@@ -127,31 +188,9 @@ class TestMatcher:
         matcher = cv2.detail_BestOf2NearestMatcher(False, 0.3)
         mi = matcher.apply2(features)[1]          # ordered pair (0 -> 1)
 
-        CAP = 512
-
-        def to_ours(feat, img):
-            kps, desc = feat.keypoints, feat.descriptors
-            if isinstance(desc, cv2.UMat):
-                desc = desc.get()
-            n = len(kps)
-            xy = np.zeros((CAP, 2), np.float32)
-            xy[:n] = [k.pt for k in kps]
-            bits = np.zeros((CAP, 256), np.uint8)
-            # unpackbits preserves pairwise Hamming distances exactly
-            bits[:n] = np.unpackbits(np.asarray(desc, np.uint8), axis=1)
-            h, w = img.shape[:2]
-            return ImageFeatures(
-                xy=jnp.asarray(xy),
-                response=jnp.zeros((CAP,), jnp.float32),
-                angle=jnp.zeros((CAP,), jnp.float32),
-                size=jnp.zeros((CAP,), jnp.float32),
-                level=jnp.zeros((CAP,), jnp.int32),
-                valid=jnp.asarray(np.arange(CAP) < n),
-                descriptors=jnp.asarray(bits),
-                img_size=jnp.asarray([h, w], jnp.int32))
-
-        res = match_pair(to_ours(features[0], img1),
-                         to_ours(features[1], img2), jax.random.key(0))
+        res = match_pair(_cv_features_to_ours(features[0], img1),
+                         _cv_features_to_ours(features[1], img2),
+                         jax.random.key(0))
         assert bool(res.h_valid)
         n_cv, n_ours = len(mi.matches), int(res.num_matches())
         assert abs(n_ours - n_cv) <= 0.08 * n_cv
