@@ -54,7 +54,8 @@ class StreamStitcher:
     """Fixed-rig video stitcher: `calibrate` once, `compose` per frame."""
 
     def __init__(self, config: PipelineConfig | None = None):
-        self.cfg = config or PipelineConfig()
+        from imagestitch_tpu.pipeline import _normalize_scans
+        self.cfg = _normalize_scans(config or PipelineConfig())
         self._cams = None
         self._scale = None
         self._seam_masks = None
@@ -80,25 +81,51 @@ class StreamStitcher:
             feats, jax.random.key(seed))
         conf = np.asarray(ms.confidence)
         keep = conf > cfg.matcher.conf_thresh
-        cams, _, reachable = estimate_cameras_host(
-            np.asarray(ms.H), np.asarray(ms.src_idx), np.asarray(ms.dst_idx),
-            np.asarray(ms.num_inliers), np.asarray(ms.h_valid) & keep,
-            np.asarray([[Hw, Ww]] * n), return_tree=True)
-        self._reachable = jnp.asarray(reachable)
-        if cfg.camera.ba_refine:
-            src_pts = jax.vmap(lambda i, p: feats.xy[i][p[:, 0]])(
-                ms.src_idx, ms.pairs)
-            dst_pts = jax.vmap(lambda j, p: feats.xy[j][p[:, 1]])(
-                ms.dst_idx, ms.pairs)
-            cams = bundle_adjust(
-                cams, src_pts, dst_pts, ms.inliers & ms.valid,
-                ms.src_idx, ms.dst_idx, jnp.asarray(keep) & ms.h_valid,
-                cfg.camera.ba_iters, cfg.camera.ba_kind)
-        if cfg.camera.wave_correct:
-            cams = cams.replace(
-                R=wave_correct(cams.R, cfg.camera.wave_kind))
-        if ws < 1.0:
-            cams = _upscale_cameras(cams, 1.0 / ws)
+        if cfg.mode == "scans":
+            from imagestitch_tpu.geometry.rotation import estimate_affine_host
+            from imagestitch_tpu.geometry.bundle import bundle_adjust_affine
+            from imagestitch_tpu.pipeline import _upscale_affine
+            cams, tree_edges, reachable = estimate_affine_host(
+                np.asarray(ms.H), np.asarray(ms.src_idx),
+                np.asarray(ms.dst_idx), np.asarray(ms.num_inliers),
+                np.asarray(ms.h_valid) & keep, n, return_tree=True)
+            self._reachable = jnp.asarray(reachable)
+            if cfg.camera.ba_refine:
+                src_pts = jax.vmap(lambda i, p: feats.xy[i][p[:, 0]])(
+                    ms.src_idx, ms.pairs)
+                dst_pts = jax.vmap(lambda j, p: feats.xy[j][p[:, 1]])(
+                    ms.dst_idx, ms.pairs)
+                anchor = tree_edges[0][0] if tree_edges else 0
+                Gr = bundle_adjust_affine(
+                    np.asarray(cams.R), np.asarray(src_pts),
+                    np.asarray(dst_pts), np.asarray(ms.inliers & ms.valid),
+                    np.asarray(ms.src_idx), np.asarray(ms.dst_idx),
+                    np.asarray(ms.h_valid) & keep, anchor=anchor,
+                    partial=cfg.matcher.motion == "affine_partial")
+                cams = cams.replace(R=jnp.asarray(Gr))
+            if ws < 1.0:
+                cams = cams.replace(R=_upscale_affine(cams.R, 1.0 / ws))
+        else:
+            cams, _, reachable = estimate_cameras_host(
+                np.asarray(ms.H), np.asarray(ms.src_idx),
+                np.asarray(ms.dst_idx), np.asarray(ms.num_inliers),
+                np.asarray(ms.h_valid) & keep,
+                np.asarray([[Hw, Ww]] * n), return_tree=True)
+            self._reachable = jnp.asarray(reachable)
+            if cfg.camera.ba_refine:
+                src_pts = jax.vmap(lambda i, p: feats.xy[i][p[:, 0]])(
+                    ms.src_idx, ms.pairs)
+                dst_pts = jax.vmap(lambda j, p: feats.xy[j][p[:, 1]])(
+                    ms.dst_idx, ms.pairs)
+                cams = bundle_adjust(
+                    cams, src_pts, dst_pts, ms.inliers & ms.valid,
+                    ms.src_idx, ms.dst_idx, jnp.asarray(keep) & ms.h_valid,
+                    cfg.camera.ba_iters, cfg.camera.ba_kind)
+            if cfg.camera.wave_correct:
+                cams = cams.replace(
+                    R=wave_correct(cams.R, cfg.camera.wave_kind))
+            if ws < 1.0:
+                cams = _upscale_cameras(cams, 1.0 / ws)
 
         self._cams = jax.tree.map(jnp.asarray, cams)
         self._scale = jnp.median(cams.focal)

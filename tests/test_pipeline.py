@@ -283,6 +283,24 @@ def test_stitcher_and_chain_scans_sequence():
     assert all(bool(v) for v in m2["h_valid"])
 
 
+def test_stream_stitcher_scans_mode():
+    """StreamStitcher in scans mode: calibrate on a translated sequence
+    (affine subset), compose a brightness-shifted frame set with the
+    frozen affine registration."""
+    from imagestitch_tpu import StreamStitcher
+
+    views, shift = synthetic_sequence(3, 160, 224, overlap=0.5, seed=60)
+    cfg = ST_CFG.replace(mode="scans")
+    ss = StreamStitcher(cfg)
+    pano0, m0 = ss.calibrate(views)
+    assert pano0.shape[1] > 224 + 2 * shift - 16
+    frames = [np.clip(v.astype(np.int32) + 12, 0, 255).astype(np.uint8)
+              for v in views]
+    pano1 = ss.compose(frames)
+    assert pano1.shape == pano0.shape
+    assert pano1.std() > 20
+
+
 def test_stitch_deterministic():
     img1, img2, _ = synthetic_pair(192, 256, overlap=0.5, seed=25)
     p1, m1 = stitch_pair(img1, img2, FAST_CFG, seed=7)
