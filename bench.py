@@ -265,6 +265,23 @@ def extras_bench(lat, extra):
             _log(f"  warp row_rebase={flag}: {ms:.1f} ms")
     run("warp_variants", warp_variants)
 
+    # --- SCANS (affine) mode pair, 1080p -----------------------------------
+    def scans_pair():
+        cfg = PipelineConfig(mode="scans")
+        i1, i2, _ = synthetic_pair(1080, 1920, overlap=0.4, seed=0)
+        a1 = jnp.asarray(i1, jnp.float32)
+        a2 = jnp.asarray(i2, jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def f(x, y, k, cfg):
+            p, v, c, mt = stitch_pair_impl(x, y, k, cfg=cfg)
+            return p.sum() + v.sum() + c.sum() + mt["num_inliers"]
+
+        ms = median_ms(lambda: float(f(a1, a2, key, cfg)), lat)
+        extra["scans_1080p_pair_ms"] = round(ms, 2)
+        _log(f"  scans (affine) 1080p pair: {ms:.1f} ms")
+    run("scans_pair", scans_pair)
+
     # --- DP seam + multiband blend pair (configs[2]) ----------------------
     def mb_pair():
         cfg = PipelineConfig(
