@@ -232,6 +232,15 @@ class PipelineConfig:
     def __post_init__(self):
         assert self.mode in ("panorama", "scans"), \
             f"unknown pipeline mode: {self.mode!r}"
+        # affine pair motions produce RAW-coordinate transforms with last
+        # row (0,0,1); the panorama camera/focal estimator consumes
+        # CENTER-NORMALIZED homographies — mixing them silently corrupts
+        # the focal (zero perspective terms). Affine motions require
+        # mode="scans" (which also derives them, see _normalize_scans).
+        assert not (self.mode == "panorama"
+                    and self.matcher.motion != "homography"), \
+            "matcher.motion %r requires PipelineConfig(mode='scans')" \
+            % self.matcher.motion
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

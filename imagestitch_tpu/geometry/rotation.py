@@ -166,6 +166,24 @@ def estimate_cameras_host(Hs: np.ndarray, pair_from: np.ndarray,
     return cams
 
 
+def affine_cameras(Gs) -> CameraParams:
+    """CameraParams carrying global affine transforms: K = I (focal 1,
+    pp 0) and R = G_i (image-i pixel coords -> canvas coords). The plane
+    projector's backward map K·R⁻¹·[u, v, 1] then IS the affine warp
+    G_i⁻¹·[u, v, 1] at scale 1 — the warp kernels serve the SCANS mode
+    unchanged (k_rinv is data). Shared by the host estimator below and
+    the jitted pair/chain paths (pipeline)."""
+    Gs = jnp.asarray(Gs, jnp.float32)
+    n = Gs.shape[0]
+    return CameraParams(
+        focal=jnp.ones((n,), jnp.float32),
+        aspect=jnp.ones((n,), jnp.float32),
+        ppx=jnp.zeros((n,), jnp.float32),
+        ppy=jnp.zeros((n,), jnp.float32),
+        R=Gs,
+        t=jnp.zeros((n, 3), jnp.float32))
+
+
 def estimate_affine_host(Hs: np.ndarray, pair_from: np.ndarray,
                          pair_to: np.ndarray, num_inliers: np.ndarray,
                          pair_valid: np.ndarray, num_images: int,
@@ -200,14 +218,7 @@ def estimate_affine_host(Hs: np.ndarray, pair_from: np.ndarray,
     for (u, v) in edges:
         G[v] = G[u] @ np.linalg.inv(Gmap[(u, v)])
 
-    cams = CameraParams(
-        focal=jnp.ones((num_images,), jnp.float32),
-        aspect=jnp.ones((num_images,), jnp.float32),
-        ppx=jnp.zeros((num_images,), jnp.float32),
-        ppy=jnp.zeros((num_images,), jnp.float32),
-        R=jnp.asarray(G, jnp.float32),
-        t=jnp.zeros((num_images, 3), jnp.float32),
-    )
+    cams = affine_cameras(G)
     if return_tree:
         return cams, edges, reachable
     return cams

@@ -132,8 +132,12 @@ def match_pair(f1: ImageFeatures, f2: ImageFeatures, key: jax.Array,
     num_matches = jnp.sum(valid.astype(jnp.int32))
     conf = res.num_inliers.astype(jnp.float32) / (
         8.0 + 0.3 * num_matches.astype(jnp.float32))
-    # "too close to be believable" (ref :198): conf > 3 => 0
-    conf = jnp.where(conf > 3.0, 0.0, conf)
+    if cfg.motion == "homography":
+        # "too close to be believable" (ref :198): conf > 3 => 0. OpenCV's
+        # AffineBestOf2NearestMatcher does NOT zero it (the line is
+        # commented out in cv2's matchers.cpp) — heavy overlap is the
+        # NORMAL case for scans, so the affine motions keep the raw value.
+        conf = jnp.where(conf > 3.0, 0.0, conf)
     conf = jnp.where(h_ok, conf, 0.0)
 
     if cfg.motion == "homography":

@@ -29,7 +29,8 @@ from imagestitch_tpu.ops.pyramid import resize_linear_mxu
 from imagestitch_tpu.features import detect as detect_features
 from imagestitch_tpu.matching.matcher import match_pair, match_all
 from imagestitch_tpu.geometry.rotation import (
-    estimate_cameras, estimate_cameras_host, estimate_cameras_spliced)
+    estimate_cameras, estimate_cameras_host, estimate_cameras_spliced,
+    estimate_affine_host, affine_cameras as _affine_cameras)
 from imagestitch_tpu.geometry.bundle import bundle_adjust, wave_correct
 from imagestitch_tpu.warp.warper import warp_image, roi_bounds
 from imagestitch_tpu.exposure.gain import (
@@ -100,22 +101,6 @@ def _normalize_scans(cfg: PipelineConfig) -> PipelineConfig:
                        warp=_dc.replace(cfg.warp, kind="plane"))
 
 
-def _affine_cameras(Gs: jnp.ndarray) -> CameraParams:
-    """CameraParams carrying global affine transforms: K = I (focal 1,
-    pp 0) and R = G_i (image-i pixel coords -> canvas coords). The plane
-    projector's backward map K·R⁻¹·[u, v, 1] then IS the affine warp
-    G_i⁻¹·[u, v, 1] at scale 1 — no kernel changes (the Pallas warp
-    already takes k_rinv as data)."""
-    n = Gs.shape[0]
-    return CameraParams(
-        focal=jnp.ones((n,), jnp.float32),
-        aspect=jnp.ones((n,), jnp.float32),
-        ppx=jnp.zeros((n,), jnp.float32),
-        ppy=jnp.zeros((n,), jnp.float32),
-        R=Gs.astype(jnp.float32),
-        t=jnp.zeros((n, 3), jnp.float32))
-
-
 def _upscale_affine(Gs: jnp.ndarray, s: float) -> jnp.ndarray:
     """Rescale work-scale global affines to full resolution:
     G_full = S·G·S⁻¹ with S = diag(s, s, 1)."""
@@ -123,6 +108,36 @@ def _upscale_affine(Gs: jnp.ndarray, s: float) -> jnp.ndarray:
     Sinv = jnp.asarray([[1 / s, 0, 0], [0, 1 / s, 0], [0, 0, 1]],
                        jnp.float32)
     return jnp.einsum("ab,nbc,cd->nad", S, Gs, Sinv)
+
+
+def _scans_cameras(ms, feats, keep, n: int, cfg: PipelineConfig,
+                   ws: float):
+    """SCANS-mode camera stage shared by the host Stitcher and the
+    StreamStitcher: MST affine chaining (estimate_affine_host), optional
+    joint linear affine BA anchored at the tree center, work-scale
+    conjugation. Returns (CameraParams, tree_edges, reachable)."""
+    from imagestitch_tpu.geometry.bundle import bundle_adjust_affine
+
+    cams, tree_edges, reachable = estimate_affine_host(
+        np.asarray(ms.H), np.asarray(ms.src_idx), np.asarray(ms.dst_idx),
+        np.asarray(ms.num_inliers), np.asarray(ms.h_valid) & keep, n,
+        return_tree=True)
+    if cfg.camera.ba_refine:
+        src_pts = jax.vmap(lambda i, p: feats.xy[i][p[:, 0]])(
+            ms.src_idx, ms.pairs)
+        dst_pts = jax.vmap(lambda j, p: feats.xy[j][p[:, 1]])(
+            ms.dst_idx, ms.pairs)
+        anchor = tree_edges[0][0] if tree_edges else 0
+        Gr = bundle_adjust_affine(
+            np.asarray(cams.R), np.asarray(src_pts), np.asarray(dst_pts),
+            np.asarray(ms.inliers & ms.valid),
+            np.asarray(ms.src_idx), np.asarray(ms.dst_idx),
+            np.asarray(ms.h_valid) & keep, anchor=anchor,
+            partial=cfg.matcher.motion == "affine_partial")
+        cams = cams.replace(R=jnp.asarray(Gr))
+    if ws < 1.0:
+        cams = cams.replace(R=_upscale_affine(cams.R, 1.0 / ws))
+    return cams, tree_edges, reachable
 
 
 def _pano_canvas_shape(hw: tuple[int, int], n_images: int,
@@ -516,23 +531,10 @@ def stitch_chain_front_impl(imgs: jnp.ndarray, key: jax.Array,
     good = mis.h_valid & (mis.confidence > cfg.matcher.conf_thresh)
     sizes = jnp.broadcast_to(jnp.asarray([Hw, Ww], jnp.int32), (N, 2))
 
-    if cfg.mode == "scans":
-        # SCANS: chain global affines G_{i+1} = G_i · H_i⁻¹ (canvas =
-        # image 0's frame; H_i is the raw-coordinate pair affine). Broken
-        # links mark downstream images unreachable like the rotation chain.
-        reachable = jnp.concatenate([
-            jnp.ones((1,), bool),
-            jnp.cumprod(good.astype(jnp.int32)).astype(bool)])
-        eye = jnp.eye(3, dtype=jnp.float32)
-        Gs = [eye]
-        for i in range(N - 1):
-            step = jnp.where(mis.h_valid[i], jnp.linalg.inv(mis.H[i]), eye)
-            Gs.append(Gs[-1] @ step)
-        Gs = jnp.stack(Gs)
-        if ws < 1.0:
-            Gs = _upscale_affine(Gs, 1.0 / ws)
-        cams = _affine_cameras(Gs)
-    elif cfg.chain_splice and N >= 3:
+    # skip pairs i -> i+2 (chain_splice): matched once, used by BOTH the
+    # rotation splice and the scans affine bridge below
+    mis2 = good2 = None
+    if cfg.chain_splice and N >= 3:
         idx2 = jnp.arange(N - 2, dtype=jnp.int32)
         # fold values N-1.. keep skip-pair keys distinct from the
         # consecutive pairs' folds 0..N-2
@@ -545,6 +547,37 @@ def stitch_chain_front_impl(imgs: jnp.ndarray, key: jax.Array,
 
         mis2 = jax.vmap(one2)(idx2, keys2)
         good2 = mis2.h_valid & (mis2.confidence > cfg.matcher.conf_thresh)
+
+    if cfg.mode == "scans":
+        # SCANS: chain global affines G_{i+1} = G_i · H_i⁻¹ (canvas =
+        # image 0's frame; H_i is the raw-coordinate pair affine). A broken
+        # link is bridged through the skip pair when chain_splice is on
+        # (G_{i+1} = G_{i-1} · H2_{i-1}⁻¹), else marks downstream images
+        # unreachable like the rotation chain.
+        eye = jnp.eye(3, dtype=jnp.float32)
+        Gs = [eye]
+        reach = [jnp.asarray(True)]
+        for i in range(N - 1):
+            step1 = jnp.where(mis.h_valid[i], jnp.linalg.inv(mis.H[i]), eye)
+            cand1 = Gs[i] @ step1
+            ok1 = good[i] & reach[i]
+            if mis2 is not None and i >= 1:
+                step2 = jnp.where(mis2.h_valid[i - 1],
+                                  jnp.linalg.inv(mis2.H[i - 1]), eye)
+                cand2 = Gs[i - 1] @ step2
+                ok2 = good2[i - 1] & reach[i - 1]
+                Gs.append(jnp.where(ok1, cand1,
+                                    jnp.where(ok2, cand2, cand1)))
+                reach.append(ok1 | ok2)
+            else:
+                Gs.append(cand1)
+                reach.append(ok1)
+        reachable = jnp.stack(reach)
+        Gs = jnp.stack(Gs)
+        if ws < 1.0:
+            Gs = _upscale_affine(Gs, 1.0 / ws)
+        cams = _affine_cameras(Gs)
+    elif cfg.chain_splice and N >= 3:
         cams, reachable = estimate_cameras_spliced(
             mis.H, mis.h_valid, good, mis2.H, mis2.h_valid, good2, sizes)
         # skip pairs also constrain the bundle adjustment
@@ -830,12 +863,8 @@ class Stitcher:
             conf = np.asarray(ms.confidence)
             keep = conf > cfg.matcher.conf_thresh
             if cfg.mode == "scans":
-                from imagestitch_tpu.geometry.rotation import (
-                    estimate_affine_host)
-                cams, tree_edges, reachable = estimate_affine_host(
-                    np.asarray(ms.H), np.asarray(ms.src_idx),
-                    np.asarray(ms.dst_idx), np.asarray(ms.num_inliers),
-                    np.asarray(ms.h_valid) & keep, n, return_tree=True)
+                cams, tree_edges, reachable = _scans_cameras(
+                    ms, feats, keep, n, cfg, ws)
             else:
                 cams, tree_edges, reachable = estimate_cameras_host(
                     np.asarray(ms.H), np.asarray(ms.src_idx),
@@ -843,27 +872,7 @@ class Stitcher:
                     np.asarray(ms.h_valid) & keep,
                     np.asarray(work_sizes), return_tree=True)
 
-        if cfg.mode == "scans":
-            if cfg.camera.ba_refine:
-                with timer.stage("bundle_adjust"):
-                    from imagestitch_tpu.geometry.bundle import (
-                        bundle_adjust_affine)
-                    src_pts = jax.vmap(lambda i, p: feats.xy[i][p[:, 0]])(
-                        ms.src_idx, ms.pairs)
-                    dst_pts = jax.vmap(lambda j, p: feats.xy[j][p[:, 1]])(
-                        ms.dst_idx, ms.pairs)
-                    anchor = tree_edges[0][0] if tree_edges else 0
-                    Gr = bundle_adjust_affine(
-                        np.asarray(cams.R), np.asarray(src_pts),
-                        np.asarray(dst_pts),
-                        np.asarray(ms.inliers & ms.valid),
-                        np.asarray(ms.src_idx), np.asarray(ms.dst_idx),
-                        np.asarray(ms.h_valid) & keep, anchor=anchor,
-                        partial=cfg.matcher.motion == "affine_partial")
-                    cams = cams.replace(R=jnp.asarray(Gr))
-            if ws < 1.0:
-                cams = cams.replace(R=_upscale_affine(cams.R, 1.0 / ws))
-        else:
+        if cfg.mode != "scans":
             if cfg.camera.ba_refine:
                 with timer.stage("bundle_adjust"):
                     src_pts = jax.vmap(lambda i, p: feats.xy[i][p[:, 0]])(

@@ -82,29 +82,9 @@ class StreamStitcher:
         conf = np.asarray(ms.confidence)
         keep = conf > cfg.matcher.conf_thresh
         if cfg.mode == "scans":
-            from imagestitch_tpu.geometry.rotation import estimate_affine_host
-            from imagestitch_tpu.geometry.bundle import bundle_adjust_affine
-            from imagestitch_tpu.pipeline import _upscale_affine
-            cams, tree_edges, reachable = estimate_affine_host(
-                np.asarray(ms.H), np.asarray(ms.src_idx),
-                np.asarray(ms.dst_idx), np.asarray(ms.num_inliers),
-                np.asarray(ms.h_valid) & keep, n, return_tree=True)
+            from imagestitch_tpu.pipeline import _scans_cameras
+            cams, _, reachable = _scans_cameras(ms, feats, keep, n, cfg, ws)
             self._reachable = jnp.asarray(reachable)
-            if cfg.camera.ba_refine:
-                src_pts = jax.vmap(lambda i, p: feats.xy[i][p[:, 0]])(
-                    ms.src_idx, ms.pairs)
-                dst_pts = jax.vmap(lambda j, p: feats.xy[j][p[:, 1]])(
-                    ms.dst_idx, ms.pairs)
-                anchor = tree_edges[0][0] if tree_edges else 0
-                Gr = bundle_adjust_affine(
-                    np.asarray(cams.R), np.asarray(src_pts),
-                    np.asarray(dst_pts), np.asarray(ms.inliers & ms.valid),
-                    np.asarray(ms.src_idx), np.asarray(ms.dst_idx),
-                    np.asarray(ms.h_valid) & keep, anchor=anchor,
-                    partial=cfg.matcher.motion == "affine_partial")
-                cams = cams.replace(R=jnp.asarray(Gr))
-            if ws < 1.0:
-                cams = cams.replace(R=_upscale_affine(cams.R, 1.0 / ws))
         else:
             cams, _, reachable = estimate_cameras_host(
                 np.asarray(ms.H), np.asarray(ms.src_idx),

@@ -382,6 +382,63 @@ def test_stitch_chain_splice_bridges_broken_link():
     assert pano1.shape[1] > pano0.shape[1] + shift // 2
 
 
+def test_stitch_chain_splice_scans_mode():
+    """chain_splice in SCANS mode: the affine chain bridges a corrupted
+    middle image through the skip pair (mirror of the rotation splice
+    test)."""
+    from imagestitch_tpu.pipeline import stitch_chain
+
+    views, shift = synthetic_sequence(4, 160, 224, overlap=0.7, seed=31)
+    views = list(np.asarray(views))
+    views[2] = np.asarray(
+        np.random.default_rng(0).integers(0, 255, views[2].shape), np.uint8)
+
+    cfg = CHAIN_CFG.replace(mode="scans")
+    pano0, m0 = stitch_chain(views, cfg)
+    assert list(np.asarray(m0["reachable"])) == [True, True, False, False]
+
+    pano1, m1 = stitch_chain(views, cfg.replace(chain_splice=True))
+    assert list(np.asarray(m1["reachable"])) == [True, True, False, True]
+    assert pano1.shape[1] > pano0.shape[1] + shift // 2
+
+
+def test_matcher_affine_confidence_not_zeroed():
+    """Heavy overlap pushes the Brown-Lowe confidence past 3: the
+    homography matcher zeroes it ('too close to be believable', ref :198)
+    but OpenCV's affine matcher does NOT (the zeroing is commented out in
+    cv2's matchers.cpp) — a near-identical scans pair must stay usable.
+    Manufactured identical feature sets with > 240 matches put the raw
+    confidence M/(8+0.3M) above 3 deterministically."""
+    from imagestitch_tpu.matching.matcher import match_pair
+    from imagestitch_tpu.types import ImageFeatures
+
+    rng = np.random.default_rng(7)
+    CAP, n = 512, 320
+    f = ImageFeatures(
+        xy=jnp.asarray(rng.uniform(0, 200, (CAP, 2)), jnp.float32),
+        response=jnp.zeros((CAP,), jnp.float32),
+        angle=jnp.zeros((CAP,), jnp.float32),
+        size=jnp.zeros((CAP,), jnp.float32),
+        level=jnp.zeros((CAP,), jnp.int32),
+        valid=jnp.asarray(np.arange(CAP) < n),
+        descriptors=jnp.asarray(rng.integers(0, 2, (CAP, 256)), jnp.uint8),
+        img_size=jnp.asarray([200, 200], jnp.int32))
+
+    res_h = match_pair(f, f, jax.random.key(0), cfg=MatcherConfig())
+    res_a = match_pair(f, f, jax.random.key(0),
+                       cfg=MatcherConfig(motion="affine_partial"))
+    # identical feature sets: every keypoint self-matches at distance 0
+    # and fits the identity transform
+    assert int(res_a.num_matches()) >= 241
+    assert float(res_h.confidence) == 0.0          # zeroed (> 3)
+    assert float(res_a.confidence) > 3.0           # kept
+
+
+def test_config_rejects_affine_motion_in_panorama_mode():
+    with pytest.raises(AssertionError):
+        PipelineConfig(matcher=MatcherConfig(motion="affine"))
+
+
 def test_stitch_pair_mixed_sizes():
     """img1 and img2 with DIFFERENT shapes (cv2.detail supports per-image
     sizes): per-image stages run on each image's own static shape, the
