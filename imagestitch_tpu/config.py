@@ -62,6 +62,10 @@ class DetectorConfig:
 
     def __post_init__(self):
         assert self.wta_k in (2, 3, 4), "wta_k can be only 2, 3 or 4"
+        assert self.kind in ("orb", "sift"), \
+            f"unknown detector kind: {self.kind!r}"
+        assert self.pattern in ("framework", "opencv"), \
+            f"unknown BRIEF pattern: {self.pattern!r}"
 
 
 @dataclass(frozen=True)
@@ -198,6 +202,10 @@ class BlendConfig:
     kind: str = "feather"         # feather|multiband|ramp|none
     feather_sharpness: float = 5.0
     num_bands: int = 5
+
+    def __post_init__(self):
+        kinds = ("feather", "multiband", "ramp", "none")
+        assert self.kind in kinds, f"unknown blend kind: {self.kind!r}"
 
 
 @dataclass(frozen=True)
