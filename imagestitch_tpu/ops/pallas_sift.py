@@ -70,15 +70,19 @@ def octave_halo(S: int, sigma0: float, first_octave: bool) -> int:
     return -(-(cum + 2) // 8) * 8
 
 
-def _sift_kernel(img_ref, gs_ref, dog_ref, score_ref, mag_ref, ang_ref,
+def _sift_kernel(img_ref, gs_ref, dog_ref, score_ref, gx_ref, gy_ref,
                  slab_ref, sem, *, pre_taps, chain_taps, S, halo,
                  contrast_thresh, edge_ratio):
     """One (BAND_H, Wp) band of every octave map for image b.
 
     img_ref: HBM (B, Hin, Wp) f32, reflect/zero padded by `halo` rows.
     Outputs (VMEM blocks): gs (1, BH, Wp), dog (1, S+2, BH, Wp),
-    score (1, S, BH, Wp) — interior DoG layers 1..S only, mag/ang
-    (1, S+1, BH, Wp) — blur levels 1..S+1. Grid (B, bands).
+    score (1, S, BH, Wp) — interior DoG layers 1..S only, gx/gy
+    (1, S+1, BH, Wp) — raw central-difference gradients of blur levels
+    1..S+1 (magnitude/angle are computed by the wrapper in XLA: atan2 has
+    no Pallas TPU lowering, and sqrt/atan2 outside the kernel keeps the
+    values bit-identical to the features.sift reference path anyway).
+    Grid (B, bands).
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -154,8 +158,8 @@ def _sift_kernel(img_ref, gs_ref, dog_ref, score_ref, mag_ref, ang_ref,
         a = levels[l]
         gx = 0.5 * (sh(a, 0, 1) - sh(a, 0, -1))
         gy = 0.5 * (sh(a, 1, 0) - sh(a, -1, 0))
-        mag_ref[0, gi] = jnp.sqrt(gx * gx + gy * gy)[halo:halo + BAND_H, :]
-        ang_ref[0, gi] = jnp.arctan2(gy, gx)[halo:halo + BAND_H, :]
+        gx_ref[0, gi] = gx[halo:halo + BAND_H, :]
+        gy_ref[0, gi] = gy[halo:halo + BAND_H, :]
 
     for l in range(S + 2):
         dog_ref[0, l] = dogs[l][halo:halo + BAND_H, :]
@@ -243,6 +247,11 @@ def sift_octave_maps(base: jnp.ndarray, first_octave: bool, S: int = 3,
         return (tuple(o.reshape((axis_size, -1) + o.shape[1:])
                       for o in outs), (True,) * 5)
 
-    gs, dog, score, mag, ang = (o[0] for o in call(x[None]))
+    gs, dog, score, gx, gy = (o[0] for o in call(x[None]))
     sl = lambda a: a[..., :H, halo:halo + W]
-    return sl(dog), sl(score), sl(mag), sl(ang), sl(gs)
+    gx, gy = sl(gx), sl(gy)
+    # magnitude/angle in XLA (atan2 has no Pallas TPU lowering); same
+    # formulas as features.sift._grad, so the differential stays exact
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    ang = jnp.arctan2(gy, gx)
+    return sl(dog), sl(score), mag, ang, sl(gs)
