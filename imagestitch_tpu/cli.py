@@ -34,6 +34,7 @@ def _build_config(args) -> "PipelineConfig":
         camera=CameraConfig(ba_kind=args.ba),
         work_megapix=args.work_megapix,
         compose_megapix=args.compose_megapix,
+        crop=args.crop,
     )
 
 
@@ -88,6 +89,11 @@ def main(argv=None):
                             "components) at this many megapixels and "
                             "upscale the masks (OpenCV stitching_detailed "
                             "seam_megapix; <=0: full resolution)")
+        q.add_argument("--crop", default="bbox",
+                       choices=["bbox", "interior"],
+                       help="final canvas crop: tight bounding box of "
+                            "valid pixels, or the largest all-valid "
+                            "interior rectangle (removes warped borders)")
         q.add_argument("--seed", type=int, default=0)
         q.add_argument("--metrics", action="store_true",
                        help="print the metrics dict as JSON")

@@ -129,7 +129,11 @@ class CameraConfig:
 class WarpConfig:
     """Rotation warper configuration (ref 圆柱面投影.cpp)."""
 
-    kind: str = "cylindrical"     # cylindrical|spherical|plane|fisheye|stereographic
+    # cylindrical|spherical|plane|fisheye|stereographic plus OpenCV's
+    # extended family under cv2's own kind strings: mercator,
+    # transverseMercator, compressedPlaneA2B1, compressedPlaneA1.5B1,
+    # paniniA2B1, paniniA1.5B1 (warp/projectors.PROJECTORS is the registry)
+    kind: str = "cylindrical"
     # static canvas capacity as a multiple of the input image size (the
     # jit-compiled pipeline warps into a fixed canvas; ROI offsets are
     # dynamic). Every downstream stage's cost scales with canvas area;
@@ -138,9 +142,16 @@ class WarpConfig:
     canvas_scale_w: float = 2.1
     canvas_scale_h: float = 1.35
     # Pallas warp kernel: per-slab-row horizontal rebase (tilt-factorized
-    # shift window; see ops/pallas_warp._warp_kernel). Default off pending
-    # TPU measurement (bench.py A/B-times both) — flip here once measured.
+    # shift window; see ops/pallas_warp._warp_kernel). MEASURED SLOWER on
+    # TPU v5e at 2x1080p rotation geometry (26 ms vs 22 ms base — the
+    # per-row dynamic roll costs more than the smaller shift rung saves;
+    # bench.py A/B-times both every run), so the default stays off.
     row_rebase: bool = False
+
+    def __post_init__(self):
+        from imagestitch_tpu.warp.projectors import PROJECTORS
+        assert self.kind in PROJECTORS, \
+            f"unknown warp kind: {self.kind!r} (have {sorted(PROJECTORS)})"
 
 
 @dataclass(frozen=True)
@@ -236,10 +247,17 @@ class PipelineConfig:
     # the chain program; the host Stitcher's MST routes around weak pairs
     # by construction and does not need this)
     chain_splice: bool = False
+    # final crop of the pano canvas: "bbox" (tight bounding box of valid
+    # pixels — the reference writes the raw canvas) | "interior" (largest
+    # all-valid axis-aligned rectangle, utils.crop — removes the irregular
+    # warped borders entirely)
+    crop: str = "bbox"
 
     def __post_init__(self):
         assert self.mode in ("panorama", "scans"), \
             f"unknown pipeline mode: {self.mode!r}"
+        assert self.crop in ("bbox", "interior"), \
+            f"unknown crop mode: {self.crop!r}"
         # affine pair motions produce RAW-coordinate transforms with last
         # row (0,0,1); the panorama camera/focal estimator consumes
         # CENTER-NORMALIZED homographies — mixing them silently corrupts

@@ -644,7 +644,13 @@ blend_resolved = jax.jit(_blend_resolved,
                          static_argnames=("cfg", "dilate_seam"))
 
 
-def _crop_valid(pano: np.ndarray, valid: np.ndarray):
+def _crop_valid(pano: np.ndarray, valid: np.ndarray, mode: str = "bbox"):
+    if mode == "interior":
+        from imagestitch_tpu.utils.crop import autocrop
+        cropped, (y0, x0, h, w) = autocrop(pano, valid)
+        if h == 0:
+            return pano[:1, :1], valid[:1, :1]
+        return cropped, valid[y0:y0 + h, x0:x0 + w]
     ys, xs = np.nonzero(valid)
     if len(ys) == 0:
         return pano[:1, :1], valid[:1, :1]
@@ -685,7 +691,7 @@ def stitch_pair(img1, img2, config: PipelineConfig | None = None, seed: int = 0)
                 jnp.asarray(img1), jnp.asarray(img2), key, cfg)
             pano = np.asarray(pano)
             valid = np.asarray(valid)
-    pano, valid = _crop_valid(pano, valid)
+    pano, valid = _crop_valid(pano, valid, cfg.crop)
     out = np.clip(pano, 0, 255).astype(np.uint8)
     m = {k: (np.asarray(v).item() if np.asarray(v).size == 1
              else np.asarray(v).tolist()) for k, v in metrics.items()}
@@ -721,7 +727,7 @@ def stitch_chain(images, config: PipelineConfig | None = None,
             pano, valid, corner, metrics = stitch_chain_core(imgs, key, cfg)
             pano = np.asarray(pano)
             valid = np.asarray(valid)
-    pano, valid = _crop_valid(pano, valid)
+    pano, valid = _crop_valid(pano, valid, cfg.crop)
     out = np.clip(pano, 0, 255).astype(np.uint8)
     m = {k: np.asarray(v).tolist() for k, v in metrics.items()}
     m.update(timer.summary())
@@ -954,7 +960,7 @@ class Stitcher:
             pano = np.asarray(pano)
             valid = np.asarray(valid)
 
-        pano, valid = _crop_valid(pano, valid)
+        pano, valid = _crop_valid(pano, valid, cfg.crop)
         dump("pano", pano=pano, valid=valid)
         metrics = {
             "n_images": n,

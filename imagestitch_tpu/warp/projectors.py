@@ -154,10 +154,120 @@ class StereographicProjector(Projector):
         return sinv * jnp.sin(u_), jnp.cos(PI - v_), sinv * jnp.cos(u_)
 
 
+def _sphere_angles(X, Y, Z):
+    """(azimuth u_, latitude v_) with v_ = asin(ŷ/|r|) — the convention of
+    OpenCV's Mercator/TransverseMercator/CompressedRectilinear/Panini
+    projectors (y points down, v_ measured from the equator)."""
+    u_ = jnp.arctan2(X, Z)
+    norm = jnp.sqrt(X * X + Y * Y + Z * Z)
+    v_ = jnp.arcsin(jnp.clip(Y / jnp.maximum(norm, 1e-12), -1.0, 1.0))
+    return u_, v_
+
+
+def _ray_from_angles(u_, v_):
+    cosv = jnp.cos(v_)
+    return cosv * jnp.sin(u_), jnp.sin(v_), cosv * jnp.cos(u_)
+
+
+class MercatorProjector(Projector):
+    """u = s·u_, v = s·ln tan(π/4 + v_/2); inverse v_ = atan(sinh v)
+    (OpenCV MercatorProjector; backward map exact vs cv2 5.0)."""
+
+    def _surface_from_ray(self, X, Y, Z):
+        u_, v_ = _sphere_angles(X, Y, Z)
+        return (self.scale * u_,
+                self.scale * jnp.log(jnp.tan(PI / 4 + v_ / 2)))
+
+    def _ray_from_surface(self, u, v):
+        u = u / self.scale
+        v = v / self.scale
+        return _ray_from_angles(u, jnp.arctan(jnp.sinh(v)))
+
+
+class TransverseMercatorProjector(Projector):
+    """b = cos v_·sin u_; u = (s/2)·ln((1+b)/(1−b)) = s·artanh b,
+    v = s·atan2(tan v_, cos u_); inverse v_ = asin(sin v / cosh u),
+    u_ = atan2(sinh u, cos v) (OpenCV TransverseMercatorProjector)."""
+
+    def _surface_from_ray(self, X, Y, Z):
+        u_, v_ = _sphere_angles(X, Y, Z)
+        b = jnp.clip(jnp.cos(v_) * jnp.sin(u_), -1.0 + 1e-7, 1.0 - 1e-7)
+        return (self.scale / 2 * jnp.log((1.0 + b) / (1.0 - b)),
+                self.scale * jnp.arctan2(jnp.tan(v_), jnp.cos(u_)))
+
+    def _ray_from_surface(self, u, v):
+        u = u / self.scale
+        v = v / self.scale
+        v_ = jnp.arcsin(jnp.clip(jnp.sin(v) / jnp.cosh(u), -1.0, 1.0))
+        u_ = jnp.arctan2(jnp.sinh(u), jnp.cos(v))
+        return _ray_from_angles(u_, v_)
+
+
+class CompressedRectilinearProjector(Projector):
+    """u = s·a·tan(u_/a), v = s·b·tan v_ / cos u_ (OpenCV
+    CompressedRectilinearProjector, kinds compressedPlaneA{2,1.5}B1)."""
+
+    a: float = 1.0
+    b: float = 1.0
+
+    def _surface_from_ray(self, X, Y, Z):
+        u_, v_ = _sphere_angles(X, Y, Z)
+        return (self.scale * self.a * jnp.tan(u_ / self.a),
+                self.scale * self.b * jnp.tan(v_) / jnp.cos(u_))
+
+    def _ray_from_surface(self, u, v):
+        u = u / self.scale
+        v = v / self.scale
+        u_ = self.a * jnp.arctan(u / self.a)
+        v_ = jnp.arctan(v * jnp.cos(u_) / self.b)
+        return _ray_from_angles(u_, v_)
+
+
+class PaniniProjector(Projector):
+    """u = s·a·tan(u_/a), v = s·b·(a·tan(u_/a))·tan v_ / sin u_ with the
+    sin u_ → 0 limit b·tan v_ (OpenCV PaniniProjector,
+    kinds paniniA{2,1.5}B1)."""
+
+    a: float = 1.0
+    b: float = 1.0
+
+    def _surface_from_ray(self, X, Y, Z):
+        u_, v_ = _sphere_angles(X, Y, Z)
+        tg = self.a * jnp.tan(u_ / self.a)
+        sinu = jnp.sin(u_)
+        small = jnp.abs(sinu) < 1e-7
+        ratio = jnp.where(small, 1.0,
+                          tg / jnp.where(small, 1.0, sinu))
+        return (self.scale * tg,
+                self.scale * self.b * ratio * jnp.tan(v_))
+
+    def _ray_from_surface(self, u, v):
+        u = u / self.scale
+        v = v / self.scale
+        lam = self.a * jnp.arctan(u / self.a)
+        small = jnp.abs(lam) < 1e-7
+        denom = self.b * self.a * jnp.tan(
+            jnp.where(small, 1.0, lam) / self.a)
+        t = jnp.where(small, v / self.b, v * jnp.sin(lam) / denom)
+        return _ray_from_angles(lam, jnp.arctan(t))
+
+
+def _with_ab(cls, a, b):
+    return type(f"{cls.__name__}_a{a}b{b}", (cls,), {"a": a, "b": b})
+
+
 PROJECTORS = {
     "cylindrical": CylindricalProjector,
     "spherical": SphericalProjector,
     "plane": PlaneProjector,
     "fisheye": FisheyeProjector,
     "stereographic": StereographicProjector,
+    # OpenCV PyRotationWarper's extended family, same kind strings as cv2
+    "mercator": MercatorProjector,
+    "transverseMercator": TransverseMercatorProjector,
+    "compressedPlaneA2B1": _with_ab(CompressedRectilinearProjector, 2.0, 1.0),
+    "compressedPlaneA1.5B1": _with_ab(
+        CompressedRectilinearProjector, 1.5, 1.0),
+    "paniniA2B1": _with_ab(PaniniProjector, 2.0, 1.0),
+    "paniniA1.5B1": _with_ab(PaniniProjector, 1.5, 1.0),
 }

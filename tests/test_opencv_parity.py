@@ -289,6 +289,12 @@ class TestWarper:
         ("plane", "plane"),
         ("fisheye", "fisheye"),
         ("stereographic", "stereographic"),
+        ("mercator", "mercator"),
+        ("transverseMercator", "transverseMercator"),
+        ("compressedPlaneA2B1", "compressedPlaneA2B1"),
+        ("compressedPlaneA1.5B1", "compressedPlaneA1.5B1"),
+        ("paniniA2B1", "paniniA2B1"),
+        ("paniniA1.5B1", "paniniA1.5B1"),
     ])
     def test_warp_backward_maps_vs_opencv(self, kind, cv_name):
         """buildMaps parity: our projector backward map vs cv2's
