@@ -57,7 +57,10 @@ def median_ms(fn, lat, reps=5):
         t0 = time.perf_counter()
         fn()
         times.append((time.perf_counter() - t0 - lat) * 1e3)
-    return float(np.median(times))
+    # programs faster than the tunnel latency cannot be resolved by a
+    # single-dispatch measurement — clamp to a small positive floor (such
+    # sections should iterate the op inside one program instead)
+    return max(float(np.median(times)), 1e-3)
 
 
 def _log(msg):
@@ -145,16 +148,25 @@ def extras_bench(lat, extra):
         dst[n // 2:] += rng.uniform(-80, 80, (n - n // 2, 2))  # outliers
         mask = np.ones((n,), bool)
 
+        # one RANSAC solve is faster than the tunnel readback latency, so a
+        # single-dispatch timing is below the measurement floor: iterate the
+        # solver inside ONE program (key folded per iteration, result carried
+        # so XLA cannot hoist it) and divide by the iteration count
+        REPS = 32
+
         @jax.jit
         def f(s, d, m, k):
-            r = find_homography(s, d, m, k, rcfg)
-            return r.H.sum() + r.num_inliers
+            def body(i, acc):
+                r = find_homography(s, d, m, jax.random.fold_in(k, i), rcfg)
+                return acc + r.H.sum() + r.num_inliers
+            return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
 
         s, d, m = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(mask)
-        ms = median_ms(lambda: float(f(s, d, m, key)), lat)
+        ms = median_ms(lambda: float(f(s, d, m, key)), lat) / REPS
         extra["ransac_hyp_per_s"] = round(
             rcfg.num_hypotheses / (ms / 1e3), 1)
-        _log(f"  ransac: {rcfg.num_hypotheses} hyp in {ms:.2f} ms")
+        _log(f"  ransac: {rcfg.num_hypotheses} hyp in {ms:.2f} ms "
+             f"({REPS} solves/readback)")
     run("ransac", ransac_bench)
 
     # --- batched throughput (configs[4]) ----------------------------------

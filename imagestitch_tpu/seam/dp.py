@@ -104,22 +104,34 @@ def dp_seam_path(cost: jnp.ndarray, chunk: int = 8) -> jnp.ndarray:
     # an optimal column there
     last = jnp.argmin(m_last) if H > 1 else jnp.argmin(e[0])
 
-    def back(col, ch_rows):
+    # backtrack with the position as a ONE-HOT row vector: the natural
+    # per-row `ch_rows[r][col]` scalar gather costs ~40 µs/row on TPU
+    # (dynamic-slice from a vector by a traced index), which made the
+    # backtrack 2x the cost of the forward DP. With a one-hot position p,
+    # the taken choice is the reduction o = <p, ch_row> and the move is a
+    # select among the three pre-shifted copies of p — pure vector ALU.
+    def pshift(x, s):  # roll with the wrapped element zeroed (not BIG)
+        return jnp.roll(x, s).at[(0 if s > 0 else -1)].set(0.0)
+
+    def back(p, ch_rows):
         cols = []
         for r in range(chunk - 1, -1, -1):
-            cols.append(col)
-            off = ch_rows[r][col].astype(jnp.int32) - 1
-            col = jnp.clip(col + off, 0, W - 1)
+            cols.append(jnp.argmax(p))
+            o = jnp.sum(p * ch_rows[r].astype(jnp.float32))
+            lft = pshift(p, -1)  # col-1: choice 0 (border clips are moot:
+            rgt = pshift(p, 1)   # finite choices never point off-grid)
+            p = jnp.where(o == 0.0, lft, jnp.where(o == 2.0, rgt, p))
         # cols collected bottom-up within the chunk; reverse to top-down
-        return col, jnp.stack(cols[::-1])
+        return p, jnp.stack(cols[::-1])
 
     # backtrack over padded chunks: padded free rows sit BELOW row H-1 and
     # have choice=1 (straight down), so starting from `last` at the padded
     # bottom yields the same column at row H-1
     pad_choices = choices.reshape(-1, chunk, W)
-    first_col, cols_rev = lax.scan(back, last, pad_choices, reverse=True)
+    p0 = (jnp.arange(W) == last).astype(jnp.float32)
+    p_first, cols_rev = lax.scan(back, p0, pad_choices, reverse=True)
     cols = cols_rev.reshape(-1)[:n_rest]
-    seam = jnp.concatenate([first_col[None], cols])
+    seam = jnp.concatenate([jnp.argmax(p_first)[None], cols])
     return seam.astype(jnp.int32)
 
 
