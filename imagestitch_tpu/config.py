@@ -180,12 +180,20 @@ class SeamConfig:
     kind: str = "dp_color"
     dilate_kernel: int = 20       # ref 特征点检测.cpp:1164 (20x20 rect dilate)
     # DP seam orientation on the jitted fast path: "auto" dispatches per
-    # pair from the overlap aspect via lax.cond (tall overlap -> vertical
-    # seam, wide -> horizontal), like the host graphcut path; "vertical"/
-    # "horizontal" pin it (vertical avoids compiling both branches, useful
-    # for throughput-batched dispatch where vmap turns the cond into
-    # compute-both-select)
+    # pair via lax.cond from the relative displacement of the two masks
+    # (horizontally-offset pair -> vertical dividing seam, vertically-
+    # offset -> horizontal); "vertical"/"horizontal" pin it. Inside vmap a
+    # lax.cond becomes compute-both-select, so the batched driver
+    # (parallel.batch.stitch_pairs_batched) resolves "auto" to "vertical"
+    # before tracing — pass an explicit orient for stacked batched pairs.
     orient: str = "auto"
+    # on-device scan-DP resolution: the seam is found on a dp_scale-x
+    # mean-pooled cost window and upscaled (left cell edge). 2 is ~4x less
+    # scan work for a <= 2 px seam quantization that the 20x20 dilate +
+    # blend absorb — and still ~4x FINER than OpenCV stitching_detailed's
+    # own default seam resolution (seam_megapix=0.1 ~= 0.13x linear scale
+    # at 1080p). Set 1 for exact full-resolution scan seams.
+    dp_scale: int = 2
     # full reference DpSeamFinder machinery (component labeling, conflict
     # resolution, seam tips, horizontal+vertical seams — ref 动态规划....cpp
     # :196-1093) on the host via native CCL, instead of the fast on-device
@@ -203,6 +211,8 @@ class SeamConfig:
         kinds = ("dp_color", "dp_colorgrad", "voronoi", "graphcut",
                  "graphcut_colorgrad", "none")
         assert self.kind in kinds, f"unknown seam kind: {self.kind!r}"
+        assert self.dp_scale in (1, 2, 4), \
+            f"dp_scale must be 1, 2 or 4, got {self.dp_scale!r}"
 
 
 @dataclass(frozen=True)

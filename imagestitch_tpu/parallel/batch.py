@@ -29,7 +29,18 @@ def stitch_pairs_batched(pairs: jnp.ndarray, keys: jax.Array,
     Returns (panos (B, Hc, Wc, 3), valids (B, Hc, Wc), corners (B, 2),
     metrics pytree batched over B). Uncropped canvases — cropping is a host
     concern (dynamic shapes).
+
+    seam.orient="auto" is resolved to "vertical" here: under vmap the
+    per-pair lax.cond orientation dispatch becomes compute-both-select —
+    BOTH seam scans would run for EVERY pair (measured ~8 ms/pair extra at
+    1080p). Horizontal panorama batches want the vertical seam anyway;
+    pass orient="horizontal" explicitly for stacked pairs.
     """
+    if cfg.seam.orient == "auto":
+        import dataclasses
+        cfg = cfg.replace(
+            seam=dataclasses.replace(cfg.seam, orient="vertical"))
+
     def one(pair, key):
         return stitch_pair_impl(pair[0], pair[1], key, cfg)
 

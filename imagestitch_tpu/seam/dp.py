@@ -120,7 +120,11 @@ def dp_seam_path(cost: jnp.ndarray, chunk: int = 8) -> jnp.ndarray:
             o = jnp.sum(p * ch_rows[r].astype(jnp.float32))
             lft = pshift(p, -1)  # col-1: choice 0 (border clips are moot:
             rgt = pshift(p, 1)   # finite choices never point off-grid)
-            p = jnp.where(o == 0.0, lft, jnp.where(o == 2.0, rgt, p))
+            nxt = jnp.where(o == 0.0, lft, jnp.where(o == 2.0, rgt, p))
+            # guard the fully-degenerate case (no finite path anywhere, so
+            # BIG-tie argmins can point off-grid): a shift that would zero
+            # the one-hot keeps the position instead of silently vanishing
+            p = jnp.where(jnp.any(nxt > 0.0), nxt, p)
         # cols collected bottom-up within the chunk; reverse to top-down
         return p, jnp.stack(cols[::-1])
 
@@ -135,11 +139,30 @@ def dp_seam_path(cost: jnp.ndarray, chunk: int = 8) -> jnp.ndarray:
     return seam.astype(jnp.int32)
 
 
+def _decimate_cost(cwin: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Mean-pool a cost window by `scale` along both axes (borders padded
+    with BIG — all-BIG rows are free rows for the DP, and a mixed border
+    cell's inflated mean only pushes the seam one cell inward)."""
+    H, W = cwin.shape
+    Hp = -(-H // scale) * scale
+    Wp = -(-W // scale) * scale
+    if Hp != H or Wp != W:
+        cwin = jnp.pad(cwin, ((0, Hp - H), (0, Wp - W)),
+                       constant_values=BIG)
+    return cwin.reshape(Hp // scale, scale, Wp // scale, scale).mean((1, 3))
+
+
 def _dp_split_vertical(cost: jnp.ndarray, mask1: jnp.ndarray,
                        mask2: jnp.ndarray, both: jnp.ndarray,
-                       max_overlap_w: int | None):
+                       max_overlap_w: int | None, scale: int = 1):
     """Vertical-seam mask split on a precomputed cost map. Returns
-    (mask1', mask2', seam_cols (H,) int32)."""
+    (mask1', mask2', seam_cols (H,) int32).
+
+    `scale` > 1 runs the DP on a mean-pooled cost map and upscales the seam
+    (left cell edge), cutting the scan work by scale^2 — the 20x20 seam-mask
+    dilation + blend absorb the <= scale-px quantization (OpenCV's own
+    driver defaults to ~0.13x-scale seams at 1080p via seam_megapix=0.1,
+    far coarser than this)."""
     H, W = mask1.shape
     if max_overlap_w is not None and max_overlap_w < W:
         Wd = max_overlap_w
@@ -147,9 +170,14 @@ def _dp_split_vertical(cost: jnp.ndarray, mask1: jnp.ndarray,
         first = jnp.argmax(colhas).astype(jnp.int32)
         x0 = jnp.clip(first - 8, 0, W - Wd)
         cwin = jax.lax.dynamic_slice(cost, (jnp.int32(0), x0), (H, Wd))
-        seam = dp_seam_path(cwin) + x0
     else:
-        seam = dp_seam_path(cost)
+        x0 = jnp.int32(0)
+        cwin = cost
+    if scale > 1:
+        seam_lo = dp_seam_path(_decimate_cost(cwin, scale))
+        seam = jnp.repeat(seam_lo * scale, scale)[:H] + x0
+    else:
+        seam = dp_seam_path(cwin) + x0
 
     xs = jnp.arange(W, dtype=jnp.float32)
     m1f = mask1.astype(jnp.float32)
@@ -169,7 +197,8 @@ def _dp_split_vertical(cost: jnp.ndarray, mask1: jnp.ndarray,
 def dp_seam_pair(img1: jnp.ndarray, img2: jnp.ndarray,
                  mask1: jnp.ndarray, mask2: jnp.ndarray,
                  use_grad: bool = False, max_overlap_w: int | None = None,
-                 max_overlap_h: int | None = None, orient: str = "vertical"):
+                 max_overlap_h: int | None = None, orient: str = "vertical",
+                 scale: int = 1):
     """Find the optimal seam between two shared-frame images and split
     their masks along it (ref find/process :87-195 +
     updateLabelsUsingSeam :960-1093, reduced to the path split).
@@ -180,18 +209,24 @@ def dp_seam_pair(img1: jnp.ndarray, img2: jnp.ndarray,
 
     `orient`: "vertical" runs the top-to-bottom column seam; "horizontal"
     transposes (a left-to-right row seam for stacked pairs); "auto" picks
-    per-call from the overlap extents inside jit via lax.cond — taller-
-    than-wide overlaps get the vertical seam, wider-than-tall get the
-    horizontal one (the same aspect dispatch the host graphcut path does in
-    seam/graphcut.py). With "auto" the returned seam coordinate vector is
-    None (its length is orientation-dependent and lax.cond requires
-    matching shapes).
+    per-call inside jit via lax.cond from the relative displacement of the
+    two mask centroids — a horizontally-displaced pair needs a VERTICAL
+    dividing seam and vice versa. (Round-3 used the overlap bbox aspect
+    instead, which misfires on large-overlap side-by-side pairs — a 10 deg
+    yaw rotation pair overlaps ~1600x1080, wider than tall, and was sent
+    down the horizontal branch: a ~2.8x longer scan over canvas COLUMNS and
+    the wrong seam direction; that was the r2->r3 headline regression.)
+    With "auto" the returned seam coordinate vector is None (its length is
+    orientation-dependent and lax.cond requires matching shapes).
 
     `max_overlap_w` / `max_overlap_h`: static upper bounds on the overlap
     extent ACROSS the seam direction. When given (the pipeline passes
     ~1.3x the source size, which a two-view overlap cannot exceed), the DP
     runs on a dynamic window instead of the whole canvas — the scan work
     drops proportionally.
+
+    `scale` > 1 finds the seam on a scale-x decimated cost map (see
+    _dp_split_vertical; SeamConfig.dp_scale).
 
     Returns (mask1', mask2', seam) — seam is (H,) int32 columns for
     vertical, (W,) int32 rows for horizontal, None for auto.
@@ -200,11 +235,11 @@ def dp_seam_pair(img1: jnp.ndarray, img2: jnp.ndarray,
     cost = seam_costs(img1, img2, both, use_grad)
 
     def vertical(c, m1, m2, b):
-        return _dp_split_vertical(c, m1, m2, b, max_overlap_w)
+        return _dp_split_vertical(c, m1, m2, b, max_overlap_w, scale)
 
     def horizontal(c, m1, m2, b):
         m1t, m2t, seam = _dp_split_vertical(c.T, m1.T, m2.T, b.T,
-                                            max_overlap_h)
+                                            max_overlap_h, scale)
         return m1t.T, m2t.T, seam
 
     if orient == "vertical":
@@ -212,13 +247,21 @@ def dp_seam_pair(img1: jnp.ndarray, img2: jnp.ndarray,
     if orient == "horizontal":
         return horizontal(cost, mask1, mask2, both)
 
-    # auto: overlap bbox aspect decides (tall -> vertical seam)
-    col_has = jnp.any(both, axis=0)
-    row_has = jnp.any(both, axis=1)
-    w_ext = jnp.sum(col_has.astype(jnp.int32))
-    h_ext = jnp.sum(row_has.astype(jnp.int32))
+    # auto: mask displacement decides — the seam must divide the canvas
+    # ACROSS the direction the two images are offset from each other
+    def centroid(m):
+        mf = m.astype(jnp.float32)
+        tot = jnp.maximum(jnp.sum(mf), 1.0)
+        cx = jnp.sum(jnp.sum(mf, axis=0)
+                     * jnp.arange(m.shape[1], dtype=jnp.float32)) / tot
+        cy = jnp.sum(jnp.sum(mf, axis=1)
+                     * jnp.arange(m.shape[0], dtype=jnp.float32)) / tot
+        return cx, cy
+
+    cx1, cy1 = centroid(mask1)
+    cx2, cy2 = centroid(mask2)
     m1, m2 = jax.lax.cond(
-        h_ext >= w_ext,
+        jnp.abs(cx1 - cx2) >= jnp.abs(cy1 - cy2),
         lambda c, a, b2, b: vertical(c, a, b2, b)[:2],
         lambda c, a, b2, b: horizontal(c, a, b2, b)[:2],
         cost, mask1, mask2, both)

@@ -132,7 +132,8 @@ class StreamStitcher:
                         a2, b2, _ = dp_seam_pair(
                             warped[i], warped[i + 1], a, b,
                             cfg.seam.kind == "dp_colorgrad",
-                            orient=cfg.seam.orient)
+                            orient=cfg.seam.orient,
+                            scale=cfg.seam.dp_scale)
                     sm_list[i], sm_list[i + 1] = a2, b2
             sm = jnp.stack(sm_list)
         self._seam_masks = sm

@@ -268,6 +268,36 @@ def test_dp_seam_auto_orientation_horizontal():
     assert not s2[:12, :].any()
 
 
+def test_dp_seam_auto_large_overlap_side_by_side_stays_vertical():
+    """A side-by-side pair with a LARGE overlap (wider than tall, like the
+    bench rotation scene: 10 deg yaw leaves ~85% overlap) must still get a
+    VERTICAL dividing seam from orient="auto" — the displacement of the
+    masks decides, not the overlap bbox aspect (the r3 aspect heuristic sent
+    this down the horizontal branch: wrong seam direction AND a ~2.8x
+    longer scan over canvas columns, the r2->r3 headline regression)."""
+    import jax
+
+    H, W = 24, 64
+    m1 = np.zeros((H, W), bool)
+    m2 = np.zeros((H, W), bool)
+    m1[:, :56] = True            # left image
+    m2[:, 8:] = True             # right image: overlap 48 wide x 24 tall
+    img1 = np.zeros((H, W, 3), np.float32)
+    img2 = np.full((H, W, 3), 50.0, np.float32)
+    img2[:, 30] = 0.0            # agree along column 30
+
+    fn = jax.jit(lambda a, b, x, y: dp_seam_pair(a, b, x, y, orient="auto"))
+    s1, s2, _ = fn(jnp.asarray(img1), jnp.asarray(img2),
+                   jnp.asarray(m1), jnp.asarray(m2))
+    s1, s2 = np.asarray(s1), np.asarray(s2)
+    assert not (s1 & s2).any()
+    assert (s1 | s2).sum() == (m1 | m2).sum()
+    # a vertical seam along column 30: left keeps <=30, right keeps >30
+    assert s1[:, :31].all()
+    assert s2[:, 31:].all()
+    assert not s2[:, :31].any()
+
+
 def test_dp_seam_auto_orientation_vertical_unchanged():
     """auto on a side-by-side pair matches the explicit vertical result."""
     import jax
