@@ -16,7 +16,7 @@ jit-compilable function over batched arrays:
 High-level API: `imagestitch_tpu.stitch(images, config)`.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 import jax as _jax
 
