@@ -6,6 +6,8 @@ __all__ = [
     "data_sharding",
     "stitch_pairs_batched",
     "stitch_pairs_sharded",
+    "stitch_chain_pano",
+    "stitch_chain_pano_sharded",
 ]
 
 
@@ -15,4 +17,7 @@ def __getattr__(name):
     if name in ("stitch_pairs_batched", "stitch_pairs_sharded"):
         from imagestitch_tpu.parallel import batch
         return getattr(batch, name)
+    if name in ("stitch_chain_pano", "stitch_chain_pano_sharded"):
+        from imagestitch_tpu.parallel import pano
+        return getattr(pano, name)
     raise AttributeError(name)

@@ -79,3 +79,97 @@ def test_sharded_2d_mesh_matches_unsharded():
     assert np.array_equal(np.asarray(c_sh), np.asarray(c_un))
     assert np.array_equal(np.asarray(m_sh["num_inliers"]),
                           np.asarray(m_un["num_inliers"]))
+
+
+def test_batched_host_seam_kind_raises():
+    """Host-only seam kinds (graphcut, full-components DP) cannot resolve
+    inside the fully-jitted batched program — the seam stage must raise at
+    trace time like the config kind validation does, not silently run the
+    scan DP (round-3 verdict weak #5)."""
+    import dataclasses
+
+    import pytest
+
+    pairs = _pairs(2)
+    keys = jax.random.split(jax.random.key(2), 2)
+    for seam_kw in (dict(kind="graphcut"),
+                    dict(kind="graphcut_colorgrad"),
+                    dict(kind="dp_color", full_components=True)):
+        cfg = TINY.replace(seam=dataclasses.replace(TINY.seam, **seam_kw))
+        with pytest.raises(ValueError, match="host"):
+            stitch_pairs_batched(pairs, keys, cfg)
+
+
+def test_batched_resolves_auto_orient_to_vertical():
+    """stitch_pairs_batched pins seam orient "auto" -> "vertical" before
+    tracing (under vmap the lax.cond dispatch computes BOTH orientations
+    for every pair); the result must equal an explicitly-vertical batch."""
+    import dataclasses
+
+    pairs = _pairs(2, seed=9)
+    keys = jax.random.split(jax.random.key(3), 2)
+    assert TINY.seam.orient == "auto"
+    p_auto, v_auto, c_auto, _ = stitch_pairs_batched(pairs, keys, TINY)
+    cfg_v = TINY.replace(
+        seam=dataclasses.replace(TINY.seam, orient="vertical"))
+    p_v, v_v, c_v, _ = stitch_pairs_batched(pairs, keys, cfg_v)
+    assert np.array_equal(np.asarray(p_auto), np.asarray(p_v))
+    assert np.array_equal(np.asarray(v_auto), np.asarray(v_v))
+
+
+def test_chain_pano_sharded_matches_unsharded():
+    """ONE panorama sharded over the mesh (round-3 verdict weak #7 / next
+    #9): the canvas-sharded chain program on an 8-device "data" mesh must
+    reproduce the unsharded chain result. The chain has empty triple
+    overlaps, so the independent-pair seam schedule equals the sequential
+    one (see parallel.pano docstring); seams are pinned vertical on both
+    sides so the comparison isolates the sharding."""
+    import dataclasses
+
+    from imagestitch_tpu.parallel import (make_mesh, stitch_chain_pano,
+                                          stitch_chain_pano_sharded)
+    from imagestitch_tpu.utils.io import synthetic_sequence
+
+    cfg = TINY.replace(
+        seam=dataclasses.replace(TINY.seam, orient="vertical"))
+    views, _ = synthetic_sequence(4, 144, 192, overlap=0.5, seed=5)
+    imgs = jnp.asarray(np.stack(views), jnp.float32)
+    key = jax.random.key(0)
+
+    p_un, v_un, c_un, m_un = stitch_chain_pano(imgs, key, cfg)
+    mesh = make_mesh({"data": 8})
+    p_sh, v_sh, c_sh, m_sh = stitch_chain_pano_sharded(imgs, key, mesh, cfg)
+
+    assert np.array_equal(np.asarray(c_un), np.asarray(c_sh))
+    assert np.array_equal(np.asarray(m_un["h_valid"]),
+                          np.asarray(m_sh["h_valid"]))
+    # sharded linalg/reduction orders perturb the LM focal at ~1e-4 rel,
+    # like the batched-vs-single comparison above — compare robustly
+    d = np.abs(np.asarray(p_un) - np.asarray(p_sh))
+    assert d.mean() < 0.5
+    assert np.quantile(d, 0.999) < 30.0
+    iou = ((np.asarray(v_un) & np.asarray(v_sh)).sum()
+           / max((np.asarray(v_un) | np.asarray(v_sh)).sum(), 1))
+    assert iou > 0.995
+
+
+def test_chain_pano_matches_sequential_seam_schedule():
+    """With empty triple overlaps, the independent-pair seam schedule of
+    the sharded pano path must produce the SAME coverage partition as the
+    sequential single-chip chain (stitch_chain_impl)."""
+    import dataclasses
+
+    from imagestitch_tpu.parallel import stitch_chain_pano
+    from imagestitch_tpu.pipeline import stitch_chain_impl
+    from imagestitch_tpu.utils.io import synthetic_sequence
+
+    cfg = TINY.replace(
+        seam=dataclasses.replace(TINY.seam, orient="vertical"))
+    views, _ = synthetic_sequence(4, 144, 192, overlap=0.5, seed=6)
+    imgs = jnp.asarray(np.stack(views), jnp.float32)
+    key = jax.random.key(0)
+    p_a, v_a, c_a, _ = stitch_chain_pano(imgs, key, cfg)
+    p_b, v_b, c_b, _ = jax.jit(
+        stitch_chain_impl, static_argnames=("cfg",))(imgs, key, cfg)
+    assert np.array_equal(np.asarray(v_a), np.asarray(v_b))
+    assert np.allclose(np.asarray(p_a), np.asarray(p_b), atol=1e-3)
