@@ -213,6 +213,108 @@ def extras_bench(lat, extra):
         _log(f"  SIFT VGA pair (plane+feather): {ms:.1f} ms")
     run("sift_vga_pair", sift_vga_pair)
 
+    # --- SIFT 1080p pair (the north star names SIFT as the flagship
+    # detector; round-3 only benched the VGA pair) --------------------------
+    def sift_1080p_pair():
+        from imagestitch_tpu.config import WarpConfig
+        cfg = PipelineConfig(
+            detector=DetectorConfig(kind="sift"),
+            warp=WarpConfig(kind="plane"))
+        i1, i2, _ = synthetic_pair(1080, 1920, overlap=0.4, seed=1)
+        a1 = jnp.asarray(i1, jnp.float32)
+        a2 = jnp.asarray(i2, jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def f(x, y, k, cfg):
+            p, v, c, mt = stitch_pair_impl(x, y, k, cfg=cfg)
+            return p.sum() + v.sum() + c.sum() + mt["num_inliers"]
+
+        ms = median_ms(lambda: float(f(a1, a2, key, cfg)), lat)
+        extra["sift_1080p_pair_ms"] = round(ms, 2)
+        _log(f"  SIFT 1080p pair (plane+feather): {ms:.1f} ms")
+    run("sift_1080p_pair", sift_1080p_pair)
+
+    # --- host-seam split paths at 1080p: GraphCut COST_COLOR is the
+    # reference mains' DEFAULT seam (ref 特征点检测.cpp:1134); dp_full is the
+    # complete DpSeamFinder machinery. Wall-clock including the host seam +
+    # device<->host transfers (np.asarray readbacks are true barriers);
+    # seam_megapix=0.1 = the OpenCV stitching_detailed default budget,
+    # seam_megapix=-1 = full-resolution seams (the reference's semantics).
+    def host_seam_pair(kind, smp, label, full_components=False):
+        """Times the host-seam split the way a production deployment runs
+        it: the front and blend programs end in scalar readbacks (true
+        barriers), and only the seam-resolution inputs cross the host
+        boundary — the DECIMATED canvases when seam_megapix > 0 (the
+        round-4 design; the full-res canvases otherwise, whose transfer is
+        then honestly part of the cost). The final pano stays on device
+        (its sum folds into the blend checksum), as in serving."""
+        import dataclasses
+
+        from imagestitch_tpu.pipeline import (
+            _blend_lowres_seams, _decimate_for_seam, _host_seam_masks,
+            blend_resolved, stitch_pair_front)
+        cfg = PipelineConfig(
+            seam=SeamConfig(kind=kind, seam_megapix=smp,
+                            full_components=full_components))
+        i1, i2, _ = synthetic_pair(1080, 1920, overlap=0.4, seed=0)
+        a1 = jnp.asarray(i1, jnp.float32)
+        a2 = jnp.asarray(i2, jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def front(x, y, k, cfg):
+            warped, masks, corner, mt = stitch_pair_front.__wrapped__(
+                x, y, k, cfg)
+            return warped, masks, (warped.sum() + mt["num_inliers"])
+
+        cfg_full = cfg.replace(
+            seam=dataclasses.replace(cfg.seam, seam_megapix=-1.0))
+
+        def once():
+            warped, masks, chk = front(a1, a2, key, cfg)
+            float(chk)  # barrier: front complete
+            Hc, Wc = masks.shape[1:3]
+            if smp > 0 and Hc * Wc > smp * 1e6:
+                s = float(np.sqrt(smp * 1e6 / (Hc * Wc)))
+                hs = max(int(round(Hc * s)), 16)
+                ws_ = max(int(round(Wc * s)), 16)
+                yi = np.minimum((np.arange(hs) / s).astype(np.int64),
+                                Hc - 1)
+                xi = np.minimum((np.arange(ws_) / s).astype(np.int64),
+                                Wc - 1)
+                w_lo, m_lo = _decimate_for_seam(
+                    warped, masks, jnp.asarray(yi), jnp.asarray(xi))
+                seam_lo = _host_seam_masks(np.asarray(w_lo),
+                                           np.asarray(m_lo), cfg_full)
+                yb = np.minimum((np.arange(Hc) * s).astype(np.int64),
+                                hs - 1)
+                xb = np.minimum((np.arange(Wc) * s).astype(np.int64),
+                                ws_ - 1)
+                pano, valid = _blend_lowres_seams(
+                    warped, jnp.asarray(seam_lo), masks,
+                    jnp.asarray(yb), jnp.asarray(xb), cfg)
+            else:
+                sm = _host_seam_masks(np.asarray(warped), np.asarray(masks),
+                                      cfg)
+                pano, valid = blend_resolved(warped, jnp.asarray(sm),
+                                             masks, cfg)
+            return float(pano.sum() + valid.sum())  # barrier: blend done
+
+        once()  # warm (compiles + native lib)
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            once()
+            times.append((time.perf_counter() - t0 - 2 * lat) * 1e3)
+        ms = float(np.median(times))
+        extra[label] = round(ms, 2)
+        _log(f"  {label}: {ms:.1f} ms")
+    run("graphcut_1080p", lambda: host_seam_pair(
+        "graphcut", 0.1, "graphcut_1080p_pair_ms"))
+    run("graphcut_fullres_1080p", lambda: host_seam_pair(
+        "graphcut", -1.0, "graphcut_fullres_1080p_pair_ms"))
+    run("dpfull_1080p", lambda: host_seam_pair(
+        "dp_color", 0.1, "dpfull_1080p_pair_ms", full_components=True))
+
     # --- N-image chains (configs[1], configs[3]) --------------------------
     def chain(n, H, W, label):
         cfg = PipelineConfig()  # default warp is cylindrical, like the ref
