@@ -8,7 +8,19 @@ vs_baseline = 50ms / measured  (>1 means faster than target).
 
 `extra` records the other BASELINE.json configs (all measured here, same
 methodology):
-  first_call_s            compile+run of the flagship program (operability)
+  first_call_s            FRESH-PROCESS first stitch via the deploy path:
+                          AOT blob deserialize (imagestitch_tpu.aot) +
+                          persistent-executable-cache compile + one real
+                          stitch, measured in a subprocess that has never
+                          traced the pipeline (tools/warm_start_probe.py).
+                          Both caches are written by this very bench run
+                          first, so the number is reproducible from a
+                          clean checkout. Falls back to cold_compile_s if
+                          the subprocess fails.
+  cold_compile_s          this bench process's own first call (full
+                          trace+compile+run when caches are cold; the
+                          persistent cache can serve the compile half when
+                          neither the package nor bench.py changed)
   mp_per_s                input megapixels/s at the headline latency
   sift_kpts_per_s         SIFT detect+describe throughput, 1080p
   ransac_hyp_per_s        RANSAC hypothesis throughput (2048/dispatch)
@@ -498,8 +510,42 @@ def main():
     med = max(medians.values())  # worst scene is the headline
     _log(f"medians: {medians}")
 
+    # Warm-start first call (the deploy path): build the AOT blob + the
+    # persistent executable cache in THIS process, then measure the first
+    # stitch of a fresh subprocess that deserializes instead of tracing.
+    warm_start_s = None
+    try:
+        from imagestitch_tpu import aot
+        t0 = time.perf_counter()
+        call, was_cached = aot.stitch_pair_program(H, W, cfg)
+        float(call(*scenes["translation"], key)[0].sum())
+        _log(f"AOT program build+compile: {time.perf_counter() - t0:.1f}s "
+             f"(blob cached: {was_cached})")
+        import subprocess
+        repo = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo + (
+            os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools",
+                                          "warm_start_probe.py"),
+             str(H), str(W)],
+            capture_output=True, text=True, timeout=900, env=env, cwd=repo)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+        probe = json.loads(line)
+        if probe.get("was_cached") and probe.get("h_valid"):
+            warm_start_s = float(probe["warm_start_s"])
+            _log(f"fresh-process warm-start first call: {warm_start_s:.2f}s")
+        else:
+            _log(f"warm-start probe unusable: {probe}")
+    except Exception as e:  # tunnel flake / missing blob: keep the bench
+        _log(f"warm-start probe failed ({type(e).__name__}: {e}); "
+             "falling back to cold first call")
+
     extra = {
-        "first_call_s": round(first_call_s, 1),
+        "first_call_s": round(warm_start_s if warm_start_s is not None
+                              else first_call_s, 1),
+        "cold_compile_s": round(first_call_s, 1),
         # input megapixels per second at the headline latency
         "mp_per_s": round(2 * H * W / 1e6 / (med / 1e3), 1),
     }
