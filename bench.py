@@ -2,9 +2,18 @@
 TPU chip.
 
 Headline (BASELINE.md, driver-specified: the reference publishes no
-numbers): < 50 ms per 1080p pair on one chip. Prints ONE JSON line:
+numbers): < 50 ms per 1080p pair on one chip. Prints the JSON line
   {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N, "extra": {...}}
 vs_baseline = 50ms / measured  (>1 means faster than target).
+
+ARTIFACT-FIRST STRUCTURE (round-5 fix for the round-4 rc=124/parsed=null
+loss): the headline line is printed IMMEDIATELY after the two-scene
+medians, then RE-printed with a growing `extra` after EVERY extras
+section. The driver records the last parseable line, so a timeout mid-
+extras still leaves the freshest complete artifact. All extras run under
+a global wall-clock budget (BENCH_BUDGET_S, default 1100 s from process
+start); a section whose estimated cost exceeds the remaining budget is
+skipped and recorded in extra["skipped_sections"].
 
 `extra` records the other BASELINE.json configs (all measured here, same
 methodology):
@@ -52,6 +61,13 @@ import threading
 import time
 
 import numpy as np
+
+_T_START = time.monotonic()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1100"))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _T_START)
 
 
 def time_of(fn):
@@ -102,10 +118,11 @@ def _watchdog(stage, seconds):
     return t
 
 
-def extras_bench(lat, extra):
-    """BASELINE.json configs[0..4] + throughput metrics. Each section is
-    independent and failure-isolated (a compile OOM on one config must not
-    kill the headline artifact)."""
+def extras_bench(lat, extra, emit):
+    """BASELINE.json configs[0..4] + throughput metrics, highest-priority
+    first. Each section is independent, failure-isolated (a compile OOM on
+    one config must not kill the artifact), budget-gated, and followed by
+    an `emit()` so the freshest artifact is always the last stdout line."""
     import jax
     import jax.numpy as jnp
     from imagestitch_tpu.config import (PipelineConfig, SeamConfig,
@@ -116,13 +133,201 @@ def extras_bench(lat, extra):
 
     key = jax.random.key(0)
 
-    def run(name, fn):
+    def run(name, fn, est=90):
+        """est = conservative wall-clock estimate (compile + reps), used
+        only to decide whether the remaining budget can fit the section."""
+        if _remaining() < est:
+            _log(f"extras[{name}]: skipped_timeout "
+                 f"(needs ~{est}s, {_remaining():.0f}s left)")
+            extra.setdefault("skipped_sections", []).append(name)
+            emit()
+            return
         try:
             t0 = time.perf_counter()
             fn()
             _log(f"extras[{name}]: done ({time.perf_counter() - t0:.1f}s)")
         except Exception as e:  # noqa: BLE001 — isolate config failures
             _log(f"extras[{name}]: FAILED {type(e).__name__}: {e}")
+        emit()
+
+    # --- SIFT 1080p pair (the north star names SIFT as the flagship
+    # detector) — VERDICT r4 target: < 50 ms -------------------------------
+    def sift_1080p_pair():
+        from imagestitch_tpu.config import WarpConfig
+        cfg = PipelineConfig(
+            detector=DetectorConfig(kind="sift"),
+            warp=WarpConfig(kind="plane"))
+        i1, i2, _ = synthetic_pair(1080, 1920, overlap=0.4, seed=1)
+        a1 = jnp.asarray(i1, jnp.float32)
+        a2 = jnp.asarray(i2, jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def f(x, y, k, cfg):
+            p, v, c, mt = stitch_pair_impl(x, y, k, cfg=cfg)
+            return p.sum() + v.sum() + c.sum() + mt["num_inliers"]
+
+        ms = median_ms(lambda: float(f(a1, a2, key, cfg)), lat)
+        extra["sift_1080p_pair_ms"] = round(ms, 2)
+        _log(f"  SIFT 1080p pair (plane+feather): {ms:.1f} ms")
+    run("sift_1080p_pair", sift_1080p_pair, est=110)
+
+    # --- batched throughput (configs[4]) ----------------------------------
+    def batched(B, H, W, label):
+        cfg = PipelineConfig()
+        i1, i2, _ = synthetic_pair(H, W, overlap=0.4, seed=0)
+        pair = np.stack([i1, i2]).astype(np.float32)
+        pairs = jnp.asarray(np.broadcast_to(pair, (B,) + pair.shape).copy())
+        keys = jax.random.split(key, B)
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def f(ps, ks, cfg):
+            p, v, c, mt = stitch_pairs_batched(ps, ks, cfg)
+            return (p.sum() + v.sum() + c.sum()
+                    + mt["num_inliers"].sum())
+
+        ms = median_ms(lambda: float(f(pairs, keys, cfg)), lat, reps=3)
+        extra[f"batched_{label}_pairs_per_s"] = round(B / (ms / 1e3), 1)
+        _log(f"  batched {label}: {B} pairs in {ms:.1f} ms")
+    run("batched_1080p", lambda: batched(8, 1080, 1920, "1080p"), est=120)
+
+    # --- host-seam split paths at 1080p: GraphCut COST_COLOR is the
+    # reference mains' DEFAULT seam (ref 特征点检测.cpp:1134); dp_full is the
+    # complete DpSeamFinder machinery. Wall-clock including the host seam +
+    # device<->host transfers (np.asarray readbacks are true barriers);
+    # seam_megapix=0.1 = the OpenCV stitching_detailed default budget,
+    # seam_megapix=-1 = full-resolution seams (the reference's semantics).
+    def host_seam_pair(kind, smp, label, full_components=False, reps=3):
+        """Times the host-seam split the way a production deployment runs
+        it: the front and blend programs end in scalar readbacks (true
+        barriers), and only the seam-resolution inputs cross the host
+        boundary — the DECIMATED canvases when seam_megapix > 0 (the
+        round-4 design; the overlap-cropped canvases otherwise, whose
+        transfer is then honestly part of the cost). The final pano stays
+        on device (its sum folds into the blend checksum), as in serving.
+        Also records a readback/seam/blend wall-clock breakdown for the
+        full-resolution path (VERDICT r4 weak #4)."""
+        import dataclasses
+
+        from imagestitch_tpu.pipeline import (
+            _blend_lowres_seams, _decimate_for_seam, _host_seam_masks,
+            blend_resolved, stitch_pair_front)
+        cfg = PipelineConfig(
+            seam=SeamConfig(kind=kind, seam_megapix=smp,
+                            full_components=full_components))
+        i1, i2, _ = synthetic_pair(1080, 1920, overlap=0.4, seed=0)
+        a1 = jnp.asarray(i1, jnp.float32)
+        a2 = jnp.asarray(i2, jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def front(x, y, k, cfg):
+            warped, masks, corner, mt = stitch_pair_front.__wrapped__(
+                x, y, k, cfg)
+            return warped, masks, (warped.sum() + mt["num_inliers"])
+
+        cfg_full = cfg.replace(
+            seam=dataclasses.replace(cfg.seam, seam_megapix=-1.0))
+        split = {"readback_ms": [], "seam_ms": [], "blend_ms": []}
+
+        def once():
+            warped, masks, chk = front(a1, a2, key, cfg)
+            float(chk)  # barrier: front complete
+            Hc, Wc = masks.shape[1:3]
+            if smp > 0 and Hc * Wc > smp * 1e6:
+                s = float(np.sqrt(smp * 1e6 / (Hc * Wc)))
+                hs = max(int(round(Hc * s)), 16)
+                ws_ = max(int(round(Wc * s)), 16)
+                yi = np.minimum((np.arange(hs) / s).astype(np.int64),
+                                Hc - 1)
+                xi = np.minimum((np.arange(ws_) / s).astype(np.int64),
+                                Wc - 1)
+                w_lo, m_lo = _decimate_for_seam(
+                    warped, masks, jnp.asarray(yi), jnp.asarray(xi))
+                seam_lo = _host_seam_masks(np.asarray(w_lo),
+                                           np.asarray(m_lo), cfg_full)
+                yb = np.minimum((np.arange(Hc) * s).astype(np.int64),
+                                hs - 1)
+                xb = np.minimum((np.arange(Wc) * s).astype(np.int64),
+                                ws_ - 1)
+                pano, valid = _blend_lowres_seams(
+                    warped, jnp.asarray(seam_lo), masks,
+                    jnp.asarray(yb), jnp.asarray(xb), cfg)
+            else:
+                t0 = time.perf_counter()
+                w_np = np.asarray(warped)
+                m_np = np.asarray(masks)
+                t1 = time.perf_counter()
+                sm = _host_seam_masks(w_np, m_np, cfg)
+                t2 = time.perf_counter()
+                pano, valid = blend_resolved(warped, jnp.asarray(sm),
+                                             masks, cfg)
+                r = float(pano.sum() + valid.sum())  # barrier: blend done
+                t3 = time.perf_counter()
+                split["readback_ms"].append((t1 - t0) * 1e3)
+                split["seam_ms"].append((t2 - t1) * 1e3)
+                split["blend_ms"].append((t3 - t2) * 1e3)
+                return r
+            return float(pano.sum() + valid.sum())  # barrier: blend done
+
+        once()  # warm (compiles + native lib)
+        for k_ in split:
+            split[k_].clear()
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            once()
+            times.append((time.perf_counter() - t0 - 2 * lat) * 1e3)
+        ms = float(np.median(times))
+        extra[label] = round(ms, 2)
+        _log(f"  {label}: {ms:.1f} ms")
+        if split["seam_ms"]:
+            bd = {k_: round(float(np.median(v)), 1)
+                  for k_, v in split.items()}
+            extra[label + "_split"] = bd
+            _log(f"    split: {bd}")
+    run("graphcut_1080p", lambda: host_seam_pair(
+        "graphcut", 0.1, "graphcut_1080p_pair_ms"), est=130)
+    run("graphcut_fullres_1080p", lambda: host_seam_pair(
+        "graphcut", -1.0, "graphcut_fullres_1080p_pair_ms", reps=3),
+        est=130)
+
+    # --- warm-start first call (the deploy path): AOT blob + persistent
+    # executable cache are built in THIS process (also warming them for any
+    # subsequent bench run), then a fresh subprocess measures its first
+    # stitch without ever tracing --------------------------------------------
+    def warm_start():
+        from imagestitch_tpu import aot
+        from imagestitch_tpu.utils.io import synthetic_pair as sp
+        H, W = 1080, 1920
+        cfg = PipelineConfig()
+        i1, i2, _ = sp(H, W, overlap=0.4, seed=0)
+        t0 = time.perf_counter()
+        call, was_cached = aot.stitch_pair_program(H, W, cfg)
+        float(call(jnp.asarray(i1, jnp.float32), jnp.asarray(i2, jnp.float32),
+                   key)[0].sum())
+        _log(f"AOT program build+compile: {time.perf_counter() - t0:.1f}s "
+             f"(blob cached: {was_cached})")
+        import subprocess
+        repo = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo + (
+            os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools",
+                                          "warm_start_probe.py"),
+             str(H), str(W)],
+            capture_output=True, text=True,
+            timeout=max(120, min(600, _remaining())), env=env, cwd=repo)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+        probe = json.loads(line)
+        if probe.get("was_cached") and probe.get("h_valid"):
+            extra["first_call_s"] = round(float(probe["warm_start_s"]), 2)
+            for k_ in ("deserialize_s", "compile_s", "run_s"):
+                if k_ in probe:
+                    extra["warm_start_" + k_] = float(probe[k_])
+            _log(f"fresh-process warm-start first call: {probe}")
+        else:
+            _log(f"warm-start probe unusable: {probe}")
+    run("warm_start", warm_start, est=240)
 
     # --- SIFT kpts/sec, 1080p (BASELINE.json metric string) ---------------
     def sift_bench():
@@ -142,8 +347,9 @@ def extras_bench(lat, extra):
         nkpt = int(nkpt)
         ms = median_ms(lambda: float(f(gray)[0]), lat)
         extra["sift_kpts_per_s"] = round(nkpt / (ms / 1e3), 1)
+        extra["sift_detect_1080p_ms"] = round(ms, 2)
         _log(f"  sift: {nkpt} kpts in {ms:.1f} ms")
-    run("sift", sift_bench)
+    run("sift", sift_bench, est=70)
 
     # --- RANSAC hypotheses/sec (BASELINE.json metric string) --------------
     def ransac_bench():
@@ -179,30 +385,13 @@ def extras_bench(lat, extra):
             rcfg.num_hypotheses / (ms / 1e3), 1)
         _log(f"  ransac: {rcfg.num_hypotheses} hyp in {ms:.2f} ms "
              f"({REPS} solves/readback)")
-    run("ransac", ransac_bench)
+    run("ransac", ransac_bench, est=30)
 
-    # --- batched throughput (configs[4]) ----------------------------------
-    def batched(B, H, W, label):
-        cfg = PipelineConfig()
-        i1, i2, _ = synthetic_pair(H, W, overlap=0.4, seed=0)
-        pair = np.stack([i1, i2]).astype(np.float32)
-        pairs = jnp.asarray(np.broadcast_to(pair, (B,) + pair.shape).copy())
-        keys = jax.random.split(key, B)
-
-        @functools.partial(jax.jit, static_argnames=("cfg",))
-        def f(ps, ks, cfg):
-            p, v, c, mt = stitch_pairs_batched(ps, ks, cfg)
-            return (p.sum() + v.sum() + c.sum()
-                    + mt["num_inliers"].sum())
-
-        ms = median_ms(lambda: float(f(pairs, keys, cfg)), lat)
-        extra[f"batched_{label}_pairs_per_s"] = round(B / (ms / 1e3), 1)
-        _log(f"  batched {label}: {B} pairs in {ms:.1f} ms")
-    run("batched_vga", lambda: batched(32, 480, 640, "vga"))
-    run("batched_1080p", lambda: batched(8, 1080, 1920, "1080p"))
+    # --- remaining batched configs ----------------------------------------
+    run("batched_vga", lambda: batched(32, 480, 640, "vga"), est=100)
     # configs[4] stretch wording is "batched 4K"; 32x4K exceeds one chip's
     # HBM, so record the largest 4K batch that fits (failure-isolated)
-    run("batched_4k", lambda: batched(4, 2160, 3840, "4k"))
+    run("batched_4k", lambda: batched(4, 2160, 3840, "4k"), est=130)
 
     # --- SIFT VGA pair (configs[0]: SIFT + BF + RANSAC + perspective warp
     # + feather blend) -----------------------------------------------------
@@ -223,109 +412,11 @@ def extras_bench(lat, extra):
         ms = median_ms(lambda: float(f(a1, a2, key, cfg)), lat)
         extra["sift_vga_pair_ms"] = round(ms, 2)
         _log(f"  SIFT VGA pair (plane+feather): {ms:.1f} ms")
-    run("sift_vga_pair", sift_vga_pair)
+    run("sift_vga_pair", sift_vga_pair, est=100)
 
-    # --- SIFT 1080p pair (the north star names SIFT as the flagship
-    # detector; round-3 only benched the VGA pair) --------------------------
-    def sift_1080p_pair():
-        from imagestitch_tpu.config import WarpConfig
-        cfg = PipelineConfig(
-            detector=DetectorConfig(kind="sift"),
-            warp=WarpConfig(kind="plane"))
-        i1, i2, _ = synthetic_pair(1080, 1920, overlap=0.4, seed=1)
-        a1 = jnp.asarray(i1, jnp.float32)
-        a2 = jnp.asarray(i2, jnp.float32)
-
-        @functools.partial(jax.jit, static_argnames=("cfg",))
-        def f(x, y, k, cfg):
-            p, v, c, mt = stitch_pair_impl(x, y, k, cfg=cfg)
-            return p.sum() + v.sum() + c.sum() + mt["num_inliers"]
-
-        ms = median_ms(lambda: float(f(a1, a2, key, cfg)), lat)
-        extra["sift_1080p_pair_ms"] = round(ms, 2)
-        _log(f"  SIFT 1080p pair (plane+feather): {ms:.1f} ms")
-    run("sift_1080p_pair", sift_1080p_pair)
-
-    # --- host-seam split paths at 1080p: GraphCut COST_COLOR is the
-    # reference mains' DEFAULT seam (ref 特征点检测.cpp:1134); dp_full is the
-    # complete DpSeamFinder machinery. Wall-clock including the host seam +
-    # device<->host transfers (np.asarray readbacks are true barriers);
-    # seam_megapix=0.1 = the OpenCV stitching_detailed default budget,
-    # seam_megapix=-1 = full-resolution seams (the reference's semantics).
-    def host_seam_pair(kind, smp, label, full_components=False):
-        """Times the host-seam split the way a production deployment runs
-        it: the front and blend programs end in scalar readbacks (true
-        barriers), and only the seam-resolution inputs cross the host
-        boundary — the DECIMATED canvases when seam_megapix > 0 (the
-        round-4 design; the full-res canvases otherwise, whose transfer is
-        then honestly part of the cost). The final pano stays on device
-        (its sum folds into the blend checksum), as in serving."""
-        import dataclasses
-
-        from imagestitch_tpu.pipeline import (
-            _blend_lowres_seams, _decimate_for_seam, _host_seam_masks,
-            blend_resolved, stitch_pair_front)
-        cfg = PipelineConfig(
-            seam=SeamConfig(kind=kind, seam_megapix=smp,
-                            full_components=full_components))
-        i1, i2, _ = synthetic_pair(1080, 1920, overlap=0.4, seed=0)
-        a1 = jnp.asarray(i1, jnp.float32)
-        a2 = jnp.asarray(i2, jnp.float32)
-
-        @functools.partial(jax.jit, static_argnames=("cfg",))
-        def front(x, y, k, cfg):
-            warped, masks, corner, mt = stitch_pair_front.__wrapped__(
-                x, y, k, cfg)
-            return warped, masks, (warped.sum() + mt["num_inliers"])
-
-        cfg_full = cfg.replace(
-            seam=dataclasses.replace(cfg.seam, seam_megapix=-1.0))
-
-        def once():
-            warped, masks, chk = front(a1, a2, key, cfg)
-            float(chk)  # barrier: front complete
-            Hc, Wc = masks.shape[1:3]
-            if smp > 0 and Hc * Wc > smp * 1e6:
-                s = float(np.sqrt(smp * 1e6 / (Hc * Wc)))
-                hs = max(int(round(Hc * s)), 16)
-                ws_ = max(int(round(Wc * s)), 16)
-                yi = np.minimum((np.arange(hs) / s).astype(np.int64),
-                                Hc - 1)
-                xi = np.minimum((np.arange(ws_) / s).astype(np.int64),
-                                Wc - 1)
-                w_lo, m_lo = _decimate_for_seam(
-                    warped, masks, jnp.asarray(yi), jnp.asarray(xi))
-                seam_lo = _host_seam_masks(np.asarray(w_lo),
-                                           np.asarray(m_lo), cfg_full)
-                yb = np.minimum((np.arange(Hc) * s).astype(np.int64),
-                                hs - 1)
-                xb = np.minimum((np.arange(Wc) * s).astype(np.int64),
-                                ws_ - 1)
-                pano, valid = _blend_lowres_seams(
-                    warped, jnp.asarray(seam_lo), masks,
-                    jnp.asarray(yb), jnp.asarray(xb), cfg)
-            else:
-                sm = _host_seam_masks(np.asarray(warped), np.asarray(masks),
-                                      cfg)
-                pano, valid = blend_resolved(warped, jnp.asarray(sm),
-                                             masks, cfg)
-            return float(pano.sum() + valid.sum())  # barrier: blend done
-
-        once()  # warm (compiles + native lib)
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            once()
-            times.append((time.perf_counter() - t0 - 2 * lat) * 1e3)
-        ms = float(np.median(times))
-        extra[label] = round(ms, 2)
-        _log(f"  {label}: {ms:.1f} ms")
-    run("graphcut_1080p", lambda: host_seam_pair(
-        "graphcut", 0.1, "graphcut_1080p_pair_ms"))
-    run("graphcut_fullres_1080p", lambda: host_seam_pair(
-        "graphcut", -1.0, "graphcut_fullres_1080p_pair_ms"))
     run("dpfull_1080p", lambda: host_seam_pair(
-        "dp_color", 0.1, "dpfull_1080p_pair_ms", full_components=True))
+        "dp_color", 0.1, "dpfull_1080p_pair_ms", full_components=True),
+        est=40)
 
     # --- N-image chains (configs[1], configs[3]) --------------------------
     def chain(n, H, W, label):
@@ -341,11 +432,47 @@ def extras_bench(lat, extra):
 
         _, hv = f(imgs, key, cfg)
         ok = bool(jnp.all(hv))
-        ms = median_ms(lambda: float(f(imgs, key, cfg)[0]), lat)
+        ms = median_ms(lambda: float(f(imgs, key, cfg)[0]), lat, reps=3)
         extra[f"chain{n}_{label}_ms"] = round(ms, 2)
         _log(f"  chain{n} {label}: {ms:.1f} ms all_valid={ok}")
-    run("chain4_cyl", lambda: chain(4, 480, 640, "cyl"))
-    run("chain8_1080p", lambda: chain(8, 1080, 1920, "1080p"))
+    run("chain4_cyl", lambda: chain(4, 480, 640, "cyl"), est=100)
+    run("chain8_1080p", lambda: chain(8, 1080, 1920, "1080p"), est=160)
+
+    # --- SCANS (affine) mode pair, 1080p -----------------------------------
+    def scans_pair():
+        cfg = PipelineConfig(mode="scans")
+        i1, i2, _ = synthetic_pair(1080, 1920, overlap=0.4, seed=0)
+        a1 = jnp.asarray(i1, jnp.float32)
+        a2 = jnp.asarray(i2, jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def f(x, y, k, cfg):
+            p, v, c, mt = stitch_pair_impl(x, y, k, cfg=cfg)
+            return p.sum() + v.sum() + c.sum() + mt["num_inliers"]
+
+        ms = median_ms(lambda: float(f(a1, a2, key, cfg)), lat)
+        extra["scans_1080p_pair_ms"] = round(ms, 2)
+        _log(f"  scans (affine) 1080p pair: {ms:.1f} ms")
+    run("scans_pair", scans_pair, est=90)
+
+    # --- DP seam + multiband blend pair (configs[2]) ----------------------
+    def mb_pair():
+        cfg = PipelineConfig(
+            seam=SeamConfig(kind="dp_color"),
+            blend=BlendConfig(kind="multiband", num_bands=5))
+        i1, i2, _ = synthetic_pair(1080, 1920, overlap=0.4, seed=0)
+        a1 = jnp.asarray(i1, jnp.float32)
+        a2 = jnp.asarray(i2, jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def f(x, y, k, cfg):
+            p, v, c, mt = stitch_pair_impl(x, y, k, cfg=cfg)
+            return p.sum() + v.sum() + c.sum() + mt["num_inliers"]
+
+        ms = median_ms(lambda: float(f(a1, a2, key, cfg)), lat)
+        extra["mb_dp_1080p_ms"] = round(ms, 2)
+        _log(f"  multiband+dp 1080p pair: {ms:.1f} ms")
+    run("multiband", mb_pair, est=90)
 
     # --- warp kernel variants: row_rebase flip experiment ------------------
     def warp_variants():
@@ -389,43 +516,7 @@ def extras_bench(lat, extra):
             extra[f"warp_{'rowrebase' if flag else 'base'}_ms"] = round(
                 ms, 2)
             _log(f"  warp row_rebase={flag}: {ms:.1f} ms")
-    run("warp_variants", warp_variants)
-
-    # --- SCANS (affine) mode pair, 1080p -----------------------------------
-    def scans_pair():
-        cfg = PipelineConfig(mode="scans")
-        i1, i2, _ = synthetic_pair(1080, 1920, overlap=0.4, seed=0)
-        a1 = jnp.asarray(i1, jnp.float32)
-        a2 = jnp.asarray(i2, jnp.float32)
-
-        @functools.partial(jax.jit, static_argnames=("cfg",))
-        def f(x, y, k, cfg):
-            p, v, c, mt = stitch_pair_impl(x, y, k, cfg=cfg)
-            return p.sum() + v.sum() + c.sum() + mt["num_inliers"]
-
-        ms = median_ms(lambda: float(f(a1, a2, key, cfg)), lat)
-        extra["scans_1080p_pair_ms"] = round(ms, 2)
-        _log(f"  scans (affine) 1080p pair: {ms:.1f} ms")
-    run("scans_pair", scans_pair)
-
-    # --- DP seam + multiband blend pair (configs[2]) ----------------------
-    def mb_pair():
-        cfg = PipelineConfig(
-            seam=SeamConfig(kind="dp_color"),
-            blend=BlendConfig(kind="multiband", num_bands=5))
-        i1, i2, _ = synthetic_pair(1080, 1920, overlap=0.4, seed=0)
-        a1 = jnp.asarray(i1, jnp.float32)
-        a2 = jnp.asarray(i2, jnp.float32)
-
-        @functools.partial(jax.jit, static_argnames=("cfg",))
-        def f(x, y, k, cfg):
-            p, v, c, mt = stitch_pair_impl(x, y, k, cfg=cfg)
-            return p.sum() + v.sum() + c.sum() + mt["num_inliers"]
-
-        ms = median_ms(lambda: float(f(a1, a2, key, cfg)), lat)
-        extra["mb_dp_1080p_ms"] = round(ms, 2)
-        _log(f"  multiband+dp 1080p pair: {ms:.1f} ms")
-    run("multiband", mb_pair)
+    run("warp_variants", warp_variants, est=80)
 
 
 def main():
@@ -443,12 +534,17 @@ def main():
     # pays a large one-time axon session cost (measured 70-170 s for an
     # 8-element sum — entirely environmental). Pay it on a trivial program
     # first so first_call_s measures the framework's trace+compile+run, not
-    # the tunnel bootstrap.
+    # the tunnel bootstrap. The budget clock excludes it for the same
+    # reason (it would otherwise eat most of BENCH_BUDGET_S before any
+    # measurement ran).
     t0 = time.perf_counter()
     wd = _watchdog("backend bring-up (first readback)", 600)
     float(jax.jit(lambda x: x.sum())(jnp.ones((8,))))
     wd.cancel()
-    _log(f"tunnel bootstrap (first readback): {time.perf_counter() - t0:.1f}s")
+    boot_s = time.perf_counter() - t0
+    global _T_START
+    _T_START = time.monotonic()  # budget starts after environmental bootstrap
+    _log(f"tunnel bootstrap (first readback): {boot_s:.1f}s")
     wd = _watchdog("benchmark body", 3600)
 
     t1, t2, _ = synthetic_pair(H, W, overlap=0.4, seed=0)
@@ -483,7 +579,7 @@ def main():
          f"inliers={int(m2['num_inliers'])}")
     if not (h_valid and rot_valid):
         print(json.dumps({"metric": "stitch_2x1080p_latency", "value": -1.0,
-                          "unit": "ms", "vs_baseline": 0.0}))
+                          "unit": "ms", "vs_baseline": 0.0}), flush=True)
         return
 
     # measure tunnel readback latency with a trivial program
@@ -510,55 +606,29 @@ def main():
     med = max(medians.values())  # worst scene is the headline
     _log(f"medians: {medians}")
 
-    # Warm-start first call (the deploy path): build the AOT blob + the
-    # persistent executable cache in THIS process, then measure the first
-    # stitch of a fresh subprocess that deserializes instead of tracing.
-    warm_start_s = None
-    try:
-        from imagestitch_tpu import aot
-        t0 = time.perf_counter()
-        call, was_cached = aot.stitch_pair_program(H, W, cfg)
-        float(call(*scenes["translation"], key)[0].sum())
-        _log(f"AOT program build+compile: {time.perf_counter() - t0:.1f}s "
-             f"(blob cached: {was_cached})")
-        import subprocess
-        repo = os.path.dirname(os.path.abspath(__file__))
-        env = dict(os.environ)
-        env["PYTHONPATH"] = repo + (
-            os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
-        proc = subprocess.run(
-            [sys.executable, os.path.join(repo, "tools",
-                                          "warm_start_probe.py"),
-             str(H), str(W)],
-            capture_output=True, text=True, timeout=900, env=env, cwd=repo)
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
-        probe = json.loads(line)
-        if probe.get("was_cached") and probe.get("h_valid"):
-            warm_start_s = float(probe["warm_start_s"])
-            _log(f"fresh-process warm-start first call: {warm_start_s:.2f}s")
-        else:
-            _log(f"warm-start probe unusable: {probe}")
-    except Exception as e:  # tunnel flake / missing blob: keep the bench
-        _log(f"warm-start probe failed ({type(e).__name__}: {e}); "
-             "falling back to cold first call")
-
     extra = {
-        "first_call_s": round(warm_start_s if warm_start_s is not None
-                              else first_call_s, 1),
+        "first_call_s": round(first_call_s, 1),  # refined by warm_start
         "cold_compile_s": round(first_call_s, 1),
+        "tunnel_bootstrap_s": round(boot_s, 1),
         # input megapixels per second at the headline latency
         "mp_per_s": round(2 * H * W / 1e6 / (med / 1e3), 1),
     }
-    extras_bench(lat, extra)
 
+    def emit():
+        # the driver records the LAST parseable stdout line: emit early,
+        # emit often, so a timeout anywhere still leaves a full artifact
+        print(json.dumps({
+            "metric": "stitch_2x1080p_latency",
+            "value": round(med, 3),
+            "unit": "ms",
+            "vs_baseline": round(50.0 / med, 3),
+            "extra": extra,
+        }), flush=True)
+
+    emit()  # HEADLINE FIRST — everything after this only enriches it
+    extras_bench(lat, extra, emit)
     wd.cancel()
-    print(json.dumps({
-        "metric": "stitch_2x1080p_latency",
-        "value": round(med, 3),
-        "unit": "ms",
-        "vs_baseline": round(50.0 / med, 3),
-        "extra": extra,
-    }))
+    emit()
 
 
 if __name__ == "__main__":

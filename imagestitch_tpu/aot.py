@@ -12,8 +12,10 @@ are frozen, so the compilation-cache key is stable across processes — the
 live-traced program's key is NOT, because Mosaic kernel payloads embed
 caller source locations that `strip-debuginfo` cannot reach).
 
-Measured (one TPU v5e chip, 2x1080p pair): cold first call ~50 s;
-warm-start first call via this cache ~2-4 s.
+Measured (one TPU chip through the dev tunnel, 2x1080p pair): cold first
+call ~46 s; warm-start first call via this cache ~9 s in round 4
+(tools/warm_start_probe.py now reports the deserialize/compile/run split
+so the residual is attributable — see BENCH_r05 `warm_start_*` keys).
 
 Keys hash the package sources, jax version, backend platform + device
 kind, the program tag (which folds in the PipelineConfig repr), and every

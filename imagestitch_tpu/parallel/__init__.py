@@ -8,6 +8,7 @@ __all__ = [
     "stitch_pairs_sharded",
     "stitch_chain_pano",
     "stitch_chain_pano_sharded",
+    "stitch_pair_hostseam_sharded",
 ]
 
 
@@ -17,7 +18,8 @@ def __getattr__(name):
     if name in ("stitch_pairs_batched", "stitch_pairs_sharded"):
         from imagestitch_tpu.parallel import batch
         return getattr(batch, name)
-    if name in ("stitch_chain_pano", "stitch_chain_pano_sharded"):
+    if name in ("stitch_chain_pano", "stitch_chain_pano_sharded",
+                "stitch_pair_hostseam_sharded"):
         from imagestitch_tpu.parallel import pano
         return getattr(pano, name)
     raise AttributeError(name)

@@ -127,6 +127,46 @@ stitch_chain_pano = jax.jit(stitch_chain_pano_impl,
                             static_argnames=("cfg",))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _pair_front_rows(img1, img2, key, cfg):
+    """stitch_pair_front with its canvas outputs constrained to canvas-row
+    shards (mesh axis "data"), for the sharded host-seam split."""
+    from imagestitch_tpu.pipeline import stitch_pair_front_impl
+
+    warped, masks, corner, mt = stitch_pair_front_impl(img1, img2, key, cfg)
+    warped = shard_hint(warped, "data", dim=1)
+    masks = shard_hint(masks, "data", dim=1)
+    return warped, masks, corner, mt
+
+
+def stitch_pair_hostseam_sharded(img1, img2, key, mesh,
+                                 cfg: PipelineConfig = PipelineConfig()):
+    """Host-seam (graphcut / full-components DP) pair stitch with BOTH
+    device programs laid out across `mesh`: the front program's canvas
+    outputs and the blend program run canvas-row-sharded (axis "data");
+    the seam itself resolves on the host (native BK maxflow / dual
+    corridor), exactly like the single-chip split path in
+    pipeline.stitch_pair. The decimated-canvas readback path
+    (cfg.seam.seam_megapix > 0) gathers the row shards once on readback —
+    the only host traffic, as on one chip."""
+    from imagestitch_tpu.pipeline import _host_seam_blend, _needs_host_seam
+
+    if not _needs_host_seam(cfg):
+        raise ValueError(
+            f"seam kind '{cfg.seam.kind}' is on-device; use stitch_pair / "
+            "stitch_chain_pano_sharded instead")
+    prev = jax.sharding.get_mesh()
+    jax.sharding.set_mesh(mesh)
+    try:
+        warped, masks, corner, mt = _pair_front_rows(
+            jnp.asarray(img1, jnp.float32), jnp.asarray(img2, jnp.float32),
+            key, cfg)
+        pano, valid, _ = _host_seam_blend(warped, masks, cfg)
+        return pano, valid, corner, mt
+    finally:
+        jax.sharding.set_mesh(prev)
+
+
 def stitch_chain_pano_sharded(imgs, key, mesh,
                               cfg: PipelineConfig = PipelineConfig()):
     """Run ONE chain panorama across `mesh` (axis "data"): inputs placed

@@ -1,0 +1,173 @@
+"""Committed-golden tests on the vendored REAL PHOTOGRAPH — no OpenCV
+needed.
+
+The reference's verification method is checked-in golden artifacts of its
+pipeline on its vendored real photo pair (goldens written at ref
+特征点检测.cpp:1047-1054, 圆柱面投影.cpp:155-156, 图像融合.cpp:717, final
+pano at :1184). This file is the framework's equivalent: the default
+pipeline's pano on the vendored photo pair (utils/data/china.jpg, CC-BY
+2.0) is committed as a small downsampled PNG + JSON sidecar in
+tests/data/, and every run must reproduce it — registration numbers
+within tolerance, pano content within a PSNR bound. Unlike the cv2
+differentials (tests/test_opencv_parity.py) this cannot skip when cv2 or
+sklearn is missing: it runs on a bare `pip install -e .[test]` env.
+
+Regenerate after an INTENDED pipeline-output change with:
+    python tests/test_golden.py --regen
+(runs on the forced-CPU backend like the test suite; review the new PNG
+before committing it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root (script mode)
+sys.path.insert(0, _HERE)
+import conftest  # noqa: F401  (forces CPU backend when run as a script)
+
+import jax.numpy as jnp  # noqa: E402
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+GOLDEN_PNG = os.path.join(DATA, "golden_photo_pano.png")
+GOLDEN_JSON = os.path.join(DATA, "golden_photo_pano.json")
+DOWN = 4  # golden is stored 4x box-downsampled: compact + drift-tolerant
+
+
+def _box_down(img: np.ndarray, k: int) -> np.ndarray:
+    """k x k box-mean downsample (crops the remainder edge)."""
+    h, w = img.shape[0] // k * k, img.shape[1] // k * k
+    img = img[:h, :w].astype(np.float32)
+    return img.reshape(h // k, k, w // k, k, -1).mean(axis=(1, 3))
+
+
+def _stitch_photo():
+    """The golden scenario: default config on the vendored photo pair."""
+    from imagestitch_tpu import pipeline as pl
+    from imagestitch_tpu.config import PipelineConfig
+    from imagestitch_tpu.utils.io import photo_rotation_pair
+
+    img1, img2, _, f_true = photo_rotation_pair()
+    pano, valid, corner, metrics = pl.stitch_pair_core(
+        jnp.asarray(img1, jnp.float32), jnp.asarray(img2, jnp.float32),
+        jax.random.key(0), PipelineConfig())
+    pano = np.asarray(pano)
+    valid = np.asarray(valid).astype(bool)
+    ys, xs = np.nonzero(valid.any(axis=-1) if valid.ndim == 3 else valid)
+    bbox = (int(ys.min()), int(xs.min()), int(ys.max()) + 1,
+            int(xs.max()) + 1)
+    crop = pano[bbox[0]:bbox[2], bbox[1]:bbox[3]]
+    vcrop = valid[bbox[0]:bbox[2], bbox[1]:bbox[3]]
+    return {
+        "down": _box_down(crop, DOWN),
+        "vdown": _box_down(vcrop[..., None].astype(np.float32), DOWN)[..., 0],
+        "bbox": bbox,
+        "corner": [int(np.asarray(corner)[0]), int(np.asarray(corner)[1])],
+        "focal": float(np.asarray(metrics["focal"])),
+        "num_inliers": int(np.asarray(metrics["num_inliers"])),
+        "h_valid": bool(np.asarray(metrics["h_valid"])),
+        "f_true": f_true,
+    }
+
+
+@pytest.fixture(scope="module")
+def photo_result():
+    return _stitch_photo()
+
+
+@pytest.fixture(scope="module")
+def golden():
+    from imagestitch_tpu.utils.io import imread
+
+    with open(GOLDEN_JSON) as f:
+        meta = json.load(f)
+    return meta, imread(GOLDEN_PNG).astype(np.float32)
+
+
+def test_registration_matches_golden(photo_result, golden):
+    meta, _ = golden
+    assert photo_result["h_valid"]
+    # focal: both near truth, near each other
+    assert abs(photo_result["focal"] - meta["focal"]) / meta["focal"] < 0.02
+    assert photo_result["num_inliers"] >= int(0.7 * meta["num_inliers"])
+    # canvas placement must agree to a few pixels
+    assert abs(photo_result["corner"][0] - meta["corner"][0]) <= 8
+    assert abs(photo_result["corner"][1] - meta["corner"][1]) <= 8
+    db = np.abs(np.array(photo_result["bbox"]) - np.array(meta["bbox"]))
+    assert db.max() <= 8, (photo_result["bbox"], meta["bbox"])
+
+
+def test_pano_matches_golden(photo_result, golden):
+    """Content golden: PSNR of the downsampled valid-region pano against
+    the committed PNG over jointly valid pixels."""
+    meta, gpng = golden
+    ours = photo_result["down"]
+    h = min(ours.shape[0], gpng.shape[0])
+    w = min(ours.shape[1], gpng.shape[1])
+    # bbox drift tolerance above bounds the misalignment to <= 8px full-res
+    # = 2px downsampled; PSNR threshold absorbs it
+    a, b = ours[:h, :w], gpng[:h, :w]
+    both = photo_result["vdown"][:h, :w] > 0.99
+    assert both.mean() > 0.8
+    mse = float(np.mean((a[both] - b[both]) ** 2))
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+    assert psnr > 30.0, psnr
+
+
+def test_translation_pair_registration():
+    """Ground-truth registration on the REAL-pixel translation pair (two
+    overlapping crops of the photo — the overlap pixels are bit-identical
+    sensor data, the truth is an exact integer shift)."""
+    from imagestitch_tpu.config import (DetectorConfig, MatcherConfig,
+                                        RansacConfig)
+    from imagestitch_tpu.features import detect
+    from imagestitch_tpu.matching.matcher import match_pair
+    from imagestitch_tpu.ops.image import rgb_to_gray
+    from imagestitch_tpu.utils.io import photo_translation_pair
+
+    img1, img2, shift = photo_translation_pair()
+    g1 = rgb_to_gray(jnp.asarray(img1, jnp.float32))
+    g2 = rgb_to_gray(jnp.asarray(img2, jnp.float32))
+    dcfg, mcfg, rcfg = DetectorConfig(), MatcherConfig(), RansacConfig()
+    f1 = detect(g1, dcfg)
+    f2 = detect(g2, dcfg)
+    mi = match_pair(f1, f2, jax.random.key(0), 0, 1, mcfg, rcfg)
+    assert bool(np.asarray(mi.h_valid))
+    H = np.asarray(mi.H)
+    H = H / H[2, 2]
+    # img2 = scene[:, shift:]  =>  x2 = x1 - shift on the overlap
+    assert abs(H[0, 2] + shift) < 1.0, H
+    assert abs(H[1, 2]) < 1.0, H
+    offdiag = np.abs(H - np.eye(3)) - np.abs(np.diag(np.diag(H - np.eye(3))))
+    assert np.abs(H[0, 0] - 1) < 0.01 and np.abs(H[1, 1] - 1) < 0.01
+    assert offdiag[0, 1] < 0.01 and offdiag[1, 0] < 0.01
+
+
+if __name__ == "__main__":
+    if "--regen" not in sys.argv:
+        sys.exit("usage: python tests/test_golden.py --regen")
+    from imagestitch_tpu.utils.io import imwrite
+
+    r = _stitch_photo()
+    os.makedirs(DATA, exist_ok=True)
+    imwrite(GOLDEN_PNG, np.clip(r["down"], 0, 255).astype(np.uint8))
+    with open(GOLDEN_JSON, "w") as f:
+        json.dump({
+            "bbox": list(r["bbox"]), "corner": r["corner"],
+            "focal": round(r["focal"], 3),
+            "num_inliers": r["num_inliers"],
+            "scenario": "photo_rotation_pair() + default PipelineConfig, "
+                        "CPU backend",
+            "down_factor": DOWN,
+        }, f, indent=1)
+    print(f"golden written: {GOLDEN_PNG} "
+          f"({r['down'].shape[1]}x{r['down'].shape[0]}), "
+          f"focal={r['focal']:.1f} (true {r['f_true']:.1f}), "
+          f"inliers={r['num_inliers']}")

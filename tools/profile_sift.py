@@ -44,11 +44,18 @@ def main():
     print(f"tunnel latency: {lat*1e3:.1f} ms", file=sys.stderr)
 
     cfg = DetectorConfig()
-    Ssc = 3
-    sigma0 = 1.6
-    ct = 0.04 * 255.0 / Ssc
+    # read the staged-programs' tunables from detect_and_compute_sift's own
+    # defaults so the breakdown always profiles the same configuration as
+    # the 'full detect' baseline (ADVICE r4)
+    import inspect
+    dflt = {k: p.default for k, p in inspect.signature(
+        S.detect_and_compute_sift).parameters.items()}
+    Ssc = dflt["scales_per_octave"]
+    sigma0 = dflt["sigma0"]
+    ct = dflt["contrast_thresh"] * 255.0 / Ssc
+    num_octaves = dflt["num_octaves"]
     use_pallas = jax.default_backend() == "tpu"
-    shapes = S._octave_shapes(H, W, 4)
+    shapes = S._octave_shapes(H, W, num_octaves)
     quota = max(cfg.max_keypoints // (2 * len(shapes)), 16)
     print(f"backend={jax.default_backend()} octaves={shapes} quota={quota}",
           file=sys.stderr)
@@ -99,7 +106,11 @@ def main():
                 from imagestitch_tpu.ops.image import resize
                 base = resize(gS, shapes[o + 1], "linear")
             top_s, top_i = jax.lax.top_k(sc.reshape(-1), quota)
-            acc = acc + jnp.sum(top_s) + jnp.sum(top_i)
+            # anchor every octave-map output (as maps_only does) so no map
+            # is dead-code-eliminated on the XLA-composition path and the
+            # stage delta isolates only top_k (ADVICE r4)
+            acc = acc + jnp.sum(dog) + jnp.sum(mags) + jnp.sum(angs) \
+                + jnp.sum(top_s) + jnp.sum(top_i)
         return acc
 
     float(maps_topk(img))
@@ -124,7 +135,8 @@ def main():
             yk = rem // Wh
             xk = rem % Wh
             li_r, yf, xf, ol, c_ok = S._refine_subpixel(dog, li, yk, xk, ct)
-            acc = acc + jnp.sum(yf) + jnp.sum(xf) + jnp.sum(c_ok)
+            acc = acc + jnp.sum(sc) + jnp.sum(mags) + jnp.sum(angs) \
+                + jnp.sum(yf) + jnp.sum(xf) + jnp.sum(c_ok)
         return acc
 
     float(maps_refine(img))
@@ -157,7 +169,8 @@ def main():
             th, ok = S._orientations(mags.reshape(-1), angs.reshape(-1),
                                      Ssc + 1, Hh, Wh, si, yk_i, xk_i,
                                      sigma_rel)
-            acc = acc + jnp.sum(th) + jnp.sum(ok)
+            acc = acc + jnp.sum(sc) + jnp.sum(dog) \
+                + jnp.sum(th) + jnp.sum(ok)
         return acc
 
     float(maps_orient(img))

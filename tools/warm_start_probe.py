@@ -7,8 +7,13 @@ The tunnel bootstrap (first readback of a fresh process; environmental,
 70-500 s observed) is paid on a trivial program before timing, exactly as
 bench.py does for its own numbers.
 
-Prints ONE JSON line: {"warm_start_s": ..., "was_cached": ...,
-"h_valid": ...}. Run as:  python tools/warm_start_probe.py <H> <W>
+Prints ONE JSON line with the total and its breakdown:
+  warm_start_s   = deserialize_s + first dispatch (compile + run + readback)
+  deserialize_s  blob read + jax.export.deserialize
+  compile_s      first dispatch minus a second (executable-cached) dispatch
+                 — the persistent-executable-cache hit cost
+  run_s          the second dispatch (pure run + readback)
+Run as:  python tools/warm_start_probe.py <H> <W>
 """
 
 import json
@@ -37,11 +42,20 @@ def main():
 
     t0 = time.perf_counter()
     call, was_cached = aot.stitch_pair_program(h, w, PipelineConfig())
+    t1 = time.perf_counter()
     pano, valid, corner, metrics = call(a1, a2, key)
     s = float(pano.sum())  # readback = completion barrier
-    dt = time.perf_counter() - t0
+    t2 = time.perf_counter()
+    # second dispatch hits the in-process executable: its time is the pure
+    # run+readback, so first-minus-second isolates the compile cost
+    pano2, _, _, _ = call(a1, a2, key)
+    float(pano2.sum())
+    t3 = time.perf_counter()
     print(json.dumps({
-        "warm_start_s": round(dt, 2),
+        "warm_start_s": round(t2 - t0, 2),
+        "deserialize_s": round(t1 - t0, 3),
+        "compile_s": round(max((t2 - t1) - (t3 - t2), 0.0), 2),
+        "run_s": round(t3 - t2, 3),
         "was_cached": bool(was_cached),
         "h_valid": bool(metrics["h_valid"]),
         "pano_sum": s,
