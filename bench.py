@@ -11,9 +11,11 @@ loss): the headline line is printed IMMEDIATELY after the two-scene
 medians, then RE-printed with a growing `extra` after EVERY extras
 section. The driver records the last parseable line, so a timeout mid-
 extras still leaves the freshest complete artifact. All extras run under
-a global wall-clock budget (BENCH_BUDGET_S, default 1100 s from process
-start); a section whose estimated cost exceeds the remaining budget is
-skipped and recorded in extra["skipped_sections"].
+a global wall-clock budget = BENCH_TOTAL_S (default 1080 s, the driver's
+observed kill window minus margin) minus the environmental tunnel
+bootstrap, or BENCH_BUDGET_S verbatim when set (long dev runs); a section
+whose estimated cost exceeds the remaining budget is skipped and recorded
+in extra["skipped_sections"].
 
 `extra` records the other BASELINE.json configs (all measured here, same
 methodology):
@@ -63,7 +65,12 @@ import time
 import numpy as np
 
 _T_START = time.monotonic()
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1100"))
+# BENCH_TOTAL_S: total wall-clock the driver allows the bench process
+# (round 4 was killed at ~1200 s; leave margin). The measurement budget is
+# what remains after the environmental tunnel bootstrap (70-315 s
+# observed), unless BENCH_BUDGET_S pins it explicitly (long dev runs).
+_TOTAL_S = float(os.environ.get("BENCH_TOTAL_S", "1080"))
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "0")) or None
 
 
 def _remaining() -> float:
@@ -95,17 +102,29 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+_LAST_GOOD: dict | None = None  # last complete artifact dict (emit() keeps it)
+
+
 def _watchdog(stage, seconds):
     """Hard-exit with an honest artifact if `stage` wedges.
 
-    When the axon relay is down, the first backend use (inside
-    jax.devices() / the first dispatch) blocks in the tunnel claim loop
-    FOREVER — no exception, no timeout. A wedged bench leaves no artifact
-    at all; this prints the failure as the JSON line instead and exits
-    nonzero so the driver records what happened.
+    When the axon relay drops an RPC, the waiting dispatch blocks on a
+    futex FOREVER — no exception, no timeout (observed mid-extras in round
+    5: 0% CPU, futex_do_wait). If a good artifact was already emitted,
+    re-emit IT (with the wedge noted) so the driver's last parse stays the
+    real measurement; only fall back to the value=-1 failure line when the
+    wedge hit before any measurement landed.
     """
     def fire():
         _log(f"WATCHDOG: {stage} exceeded {seconds}s — axon tunnel down?")
+        if _LAST_GOOD is not None:
+            art = dict(_LAST_GOOD)
+            art["extra"] = dict(art.get("extra", {}))
+            art["extra"]["error"] = (
+                f"{stage} wedged after {seconds}s (axon RPC lost); "
+                "artifact complete up to that point")
+            print(json.dumps(art), flush=True)
+            os._exit(0)
         print(json.dumps({
             "metric": "stitch_2x1080p_latency", "value": -1.0,
             "unit": "ms", "vs_baseline": 0.0,
@@ -206,11 +225,8 @@ def extras_bench(lat, extra, emit):
         on device (its sum folds into the blend checksum), as in serving.
         Also records a readback/seam/blend wall-clock breakdown for the
         full-resolution path (VERDICT r4 weak #4)."""
-        import dataclasses
-
-        from imagestitch_tpu.pipeline import (
-            _blend_lowres_seams, _decimate_for_seam, _host_seam_masks,
-            blend_resolved, stitch_pair_front)
+        from imagestitch_tpu.pipeline import (_host_seam_blend,
+                                              stitch_pair_front)
         cfg = PipelineConfig(
             seam=SeamConfig(kind=kind, seam_megapix=smp,
                             full_components=full_components))
@@ -224,48 +240,17 @@ def extras_bench(lat, extra, emit):
                 x, y, k, cfg)
             return warped, masks, (warped.sum() + mt["num_inliers"])
 
-        cfg_full = cfg.replace(
-            seam=dataclasses.replace(cfg.seam, seam_megapix=-1.0))
-        split = {"readback_ms": [], "seam_ms": [], "blend_ms": []}
+        split = {}
 
         def once():
             warped, masks, chk = front(a1, a2, key, cfg)
             float(chk)  # barrier: front complete
-            Hc, Wc = masks.shape[1:3]
-            if smp > 0 and Hc * Wc > smp * 1e6:
-                s = float(np.sqrt(smp * 1e6 / (Hc * Wc)))
-                hs = max(int(round(Hc * s)), 16)
-                ws_ = max(int(round(Wc * s)), 16)
-                yi = np.minimum((np.arange(hs) / s).astype(np.int64),
-                                Hc - 1)
-                xi = np.minimum((np.arange(ws_) / s).astype(np.int64),
-                                Wc - 1)
-                w_lo, m_lo = _decimate_for_seam(
-                    warped, masks, jnp.asarray(yi), jnp.asarray(xi))
-                seam_lo = _host_seam_masks(np.asarray(w_lo),
-                                           np.asarray(m_lo), cfg_full)
-                yb = np.minimum((np.arange(Hc) * s).astype(np.int64),
-                                hs - 1)
-                xb = np.minimum((np.arange(Wc) * s).astype(np.int64),
-                                ws_ - 1)
-                pano, valid = _blend_lowres_seams(
-                    warped, jnp.asarray(seam_lo), masks,
-                    jnp.asarray(yb), jnp.asarray(xb), cfg)
-            else:
-                t0 = time.perf_counter()
-                w_np = np.asarray(warped)
-                m_np = np.asarray(masks)
-                t1 = time.perf_counter()
-                sm = _host_seam_masks(w_np, m_np, cfg)
-                t2 = time.perf_counter()
-                pano, valid = blend_resolved(warped, jnp.asarray(sm),
-                                             masks, cfg)
-                r = float(pano.sum() + valid.sum())  # barrier: blend done
-                t3 = time.perf_counter()
-                split["readback_ms"].append((t1 - t0) * 1e3)
-                split["seam_ms"].append((t2 - t1) * 1e3)
-                split["blend_ms"].append((t3 - t2) * 1e3)
-                return r
+            # the PRODUCTION split driver (pipeline._host_seam_blend):
+            # decimated readback when seam_megapix > 0, overlap-bbox uint8
+            # readback for full-res graphcut pairs — with its own phase
+            # breakdown (barriers only exist because timings is passed)
+            pano, valid, _ = _host_seam_blend(warped, masks, cfg,
+                                              timings=split)
             return float(pano.sum() + valid.sum())  # barrier: blend done
 
         once()  # warm (compiles + native lib)
@@ -279,7 +264,7 @@ def extras_bench(lat, extra, emit):
         ms = float(np.median(times))
         extra[label] = round(ms, 2)
         _log(f"  {label}: {ms:.1f} ms")
-        if split["seam_ms"]:
+        if split.get("seam_ms"):
             bd = {k_: round(float(np.median(v)), 1)
                   for k_, v in split.items()}
             extra[label + "_split"] = bd
@@ -316,7 +301,9 @@ def extras_bench(lat, extra, emit):
                                           "warm_start_probe.py"),
              str(H), str(W)],
             capture_output=True, text=True,
-            timeout=max(120, min(600, _remaining())), env=env, cwd=repo)
+            # the probe pays its OWN tunnel bootstrap (70-500 s observed)
+            # before the ~10 s deploy-path measurement
+            timeout=max(120, min(900, _remaining())), env=env, cwd=repo)
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
         probe = json.loads(line)
         if probe.get("was_cached") and probe.get("h_valid"):
@@ -542,10 +529,15 @@ def main():
     float(jax.jit(lambda x: x.sum())(jnp.ones((8,))))
     wd.cancel()
     boot_s = time.perf_counter() - t0
-    global _T_START
+    global _T_START, _BUDGET_S
     _T_START = time.monotonic()  # budget starts after environmental bootstrap
-    _log(f"tunnel bootstrap (first readback): {boot_s:.1f}s")
-    wd = _watchdog("benchmark body", 3600)
+    if _BUDGET_S is None:
+        _BUDGET_S = max(_TOTAL_S - boot_s, 300.0)
+    _log(f"tunnel bootstrap (first readback): {boot_s:.1f}s "
+         f"(measurement budget {_BUDGET_S:.0f}s)")
+    # a wedged RPC mid-extras must convert to a CLEAN exit with the good
+    # artifact before the driver's hard kill lands
+    wd = _watchdog("benchmark body", _BUDGET_S + 60)
 
     t1, t2, _ = synthetic_pair(H, W, overlap=0.4, seed=0)
     r1, r2, H_true, _ = synthetic_rotation_pair(H, W, yaw_deg=10.0, seed=0)
@@ -617,13 +609,16 @@ def main():
     def emit():
         # the driver records the LAST parseable stdout line: emit early,
         # emit often, so a timeout anywhere still leaves a full artifact
-        print(json.dumps({
+        global _LAST_GOOD
+        art = {
             "metric": "stitch_2x1080p_latency",
             "value": round(med, 3),
             "unit": "ms",
             "vs_baseline": round(50.0 / med, 3),
             "extra": extra,
-        }), flush=True)
+        }
+        _LAST_GOOD = art
+        print(json.dumps(art), flush=True)
 
     emit()  # HEADLINE FIRST — everything after this only enriches it
     extras_bench(lat, extra, emit)

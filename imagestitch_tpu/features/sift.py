@@ -19,8 +19,10 @@ provides the float-descriptor detector family behind the same
   one-hot matmul binning (MXU), with parabolic peak interpolation and up to
   TWO orientation peaks ≥ 0.8·max (Lowe §5) — the second peak occupies a
   second static keypoint slot, valid only when it exists.
-- Per-scale gradients: magnitude/angle stacks over the octave's interior
-  levels, gathered per keypoint by its scale index; the orientation window
+- Per-scale gradients: raw gx/gy stacks over the octave's interior
+  levels, gathered per keypoint by its scale index (magnitude/angle are
+  computed on the gathered windows — identical values, no full-plane
+  sqrt/atan2 passes); the orientation window
   Gaussian and the descriptor sampling grid scale with the keypoint's local
   σ (σ_rel = σ0·2^(l/S)), so higher-scale keypoints see proportionally
   wider windows through the SAME static gather extents.
@@ -87,30 +89,36 @@ def _scale_space(gray, num_octaves: int, S: int, sigma0: float):
 def _octave_maps(base, first_octave: bool, S: int, sigma0: float,
                  contrast_thresh: float, use_pallas: bool):
     """Fused octave maps: (dog (S+2,H,W), interior extrema scores (S,H,W),
-    grad mags (S+1,H,W), grad angles, gS). On TPU this is ONE Pallas band
+    grad gx (S+1,H,W), grad gy, gS). On TPU this is ONE Pallas band
     pass per image (ops.pallas_sift); the XLA composition below is the
-    reference implementation and serves CPU/tests."""
+    reference implementation and serves CPU/tests.
+
+    Gradients are returned RAW (gx, gy): the orientation/descriptor stages
+    consume them only through per-keypoint window gathers, so magnitude/
+    angle (sqrt/atan2) are computed there on the small (K, P) windows —
+    the same values pointwise, without two full-plane transcendental
+    passes per octave."""
     H, W = base.shape
     if use_pallas:
         from imagestitch_tpu.ops.pallas_sift import (octave_halo,
                                                      sift_octave_maps)
         if min(H, W) >= 2 * octave_halo(S, sigma0, first_octave):
-            dog, score, mags, angs, gS = sift_octave_maps(
+            dog, score, gxs, gys, gS = sift_octave_maps(
                 base, first_octave, S, sigma0, contrast_thresh)
             # 8-px border mask (the XLA path applies it inside
             # _dog_extrema_scores)
             my = (jnp.arange(H) >= 8) & (jnp.arange(H) < H - 8)
             mx = (jnp.arange(W) >= 8) & (jnp.arange(W) < W - 8)
             score = score * my[None, :, None] * mx[None, None, :]
-            return dog, score, mags, angs, gS
+            return dog, score, gxs, gys, gS
     levels = _octave_levels(base, first_octave, S, sigma0)
     dog = jnp.stack([levels[i + 1] - levels[i]
                      for i in range(len(levels) - 1)])
     score = _dog_extrema_scores(dog, contrast_thresh)
     # per-scale gradient stacks over the octave's interior levels: DoG
     # layer l peaks at blur level l (σ_rel = σ0·2^(l/S))
-    mags, angs = zip(*[_grad(levels[i]) for i in range(1, S + 2)])
-    return dog, score[1:S + 1], jnp.stack(mags), jnp.stack(angs), levels[S]
+    gxs, gys = zip(*[_grad(levels[i]) for i in range(1, S + 2)])
+    return dog, score[1:S + 1], jnp.stack(gxs), jnp.stack(gys), levels[S]
 
 
 def _dog_extrema_scores(dog: jnp.ndarray, contrast_thresh: float,
@@ -243,12 +251,13 @@ def _refine_subpixel(dog: jnp.ndarray, li, yk, xk, contrast_thresh: float,
 
 
 def _grad(img):
-    """Central-difference gradients with EDGE-CLAMPED borders (a jnp.roll
-    version would wrap the opposite edge into border gradients)."""
+    """Raw central-difference gradients (gx, gy) with EDGE-CLAMPED borders
+    (a jnp.roll version would wrap the opposite edge into border
+    gradients). Magnitude/angle are taken later on gathered windows."""
     p = jnp.pad(img, 1, mode="edge")
     gx = 0.5 * (p[1:-1, 2:] - p[1:-1, :-2])
     gy = 0.5 * (p[2:, 1:-1] - p[:-2, 1:-1])
-    return jnp.sqrt(gx * gx + gy * gy), jnp.arctan2(gy, gx)
+    return gx, gy
 
 
 @functools.lru_cache(maxsize=None)
@@ -266,7 +275,7 @@ def _gather_scaled(stack_flat, S, H, W, si, yk, xk, dv, du):
     return stack_flat[(si[:, None] * H + yi) * W + xi]
 
 
-def _orientations(mags_flat, angs_flat, S, H, W, si, yk, xk, sigma_rel,
+def _orientations(gx_flat, gy_flat, S, H, W, si, yk, xk, sigma_rel,
                   rad: int = 12, n_peaks: int = 2):
     """Up to `n_peaks` gradient orientations per keypoint (Lowe §5).
 
@@ -278,8 +287,10 @@ def _orientations(mags_flat, angs_flat, S, H, W, si, yk, xk, sigma_rel,
     dv_np, du_np = _window_offsets(rad)
     dv = jnp.asarray(dv_np)
     du = jnp.asarray(du_np)
-    m = _gather_scaled(mags_flat, S, H, W, si, yk, xk, dv, du)   # (K, P)
-    a = _gather_scaled(angs_flat, S, H, W, si, yk, xk, dv, du)
+    gx = _gather_scaled(gx_flat, S, H, W, si, yk, xk, dv, du)    # (K, P)
+    gy = _gather_scaled(gy_flat, S, H, W, si, yk, xk, dv, du)
+    m = jnp.sqrt(gx * gx + gy * gy)
+    a = jnp.arctan2(gy, gx)
     r2 = (du.astype(jnp.float32) ** 2 + dv.astype(jnp.float32) ** 2)[None, :]
     sig = (1.5 * sigma_rel)[:, None]
     w = jnp.exp(-r2 / (2.0 * sig * sig))
@@ -312,7 +323,7 @@ def _orientations(mags_flat, angs_flat, S, H, W, si, yk, xk, sigma_rel,
     return theta.T, ok.T                                   # (n_peaks, K)
 
 
-def _descriptors(mags_flat, angs_flat, S, H, W, si, yk, xk, theta, sigma_rel,
+def _descriptors(gx_flat, gy_flat, S, H, W, si, yk, xk, theta, sigma_rel,
                  cell: int = 4, nbins: int = 8, width: int = 4):
     """SIFT 4x4x8 descriptor per keypoint, (K, 128) float32, normalized.
 
@@ -333,8 +344,10 @@ def _descriptors(mags_flat, angs_flat, S, H, W, si, yk, xk, theta, sigma_rel,
 
     yi = jnp.clip(yk[:, None] + rv, 0, H - 1)
     xi = jnp.clip(xk[:, None] + ru, 0, W - 1)
-    m = mags_flat[(si[:, None] * H + yi) * W + xi]        # (K, P)
-    a = angs_flat[(si[:, None] * H + yi) * W + xi] - theta[:, None]
+    gx = gx_flat[(si[:, None] * H + yi) * W + xi]         # (K, P)
+    gy = gy_flat[(si[:, None] * H + yi) * W + xi]
+    m = jnp.sqrt(gx * gx + gy * gy)
+    a = jnp.arctan2(gy, gx) - theta[:, None]
 
     # spatial cell soft-assignment (bilinear over the 4x4 grid)
     gx = (uf + half) / cell - 0.5                         # (1, P) in [-.5,3.5]
@@ -421,7 +434,7 @@ def detect_and_compute_sift(gray: jnp.ndarray,
 
     base = gray
     for o, (Hh, Wh) in enumerate(shapes):
-        dog, score_int, mag_stack, ang_stack, gS = _octave_maps(
+        dog, score_int, gx_stack, gy_stack, gS = _octave_maps(
             base, o == 0, S, sigma0, contrast_thresh, use_pallas)
         if o + 1 < len(shapes):
             base = resize(gS, shapes[o + 1], "linear")
@@ -440,20 +453,20 @@ def detect_and_compute_sift(gray: jnp.ndarray,
         yk_i = jnp.clip(jnp.round(yf).astype(jnp.int32), 0, Hh - 1)
         xk_i = jnp.clip(jnp.round(xf).astype(jnp.int32), 0, Wh - 1)
 
-        mags_flat = mag_stack.reshape(-1)
-        angs_flat = ang_stack.reshape(-1)
+        gx_flat = gx_stack.reshape(-1)
+        gy_flat = gy_stack.reshape(-1)
         si = jnp.clip(li_r - 1, 0, S)                    # stack index
         lf = li_r.astype(jnp.float32) + ol               # interpolated scale
         sigma_rel = sigma0 * (2.0 ** (jnp.clip(lf, 0.0, S + 1.0) / S))
 
         thetas, peak_ok = _orientations(
-            mags_flat, angs_flat, S + 1, Hh, Wh, si, yk_i, xk_i, sigma_rel)
+            gx_flat, gy_flat, S + 1, Hh, Wh, si, yk_i, xk_i, sigma_rel)
 
         s = float(2 ** o)
         for p in range(thetas.shape[0]):
             theta = thetas[p]
             vp = v & peak_ok[p]
-            d = _descriptors(mags_flat, angs_flat, S + 1, Hh, Wh,
+            d = _descriptors(gx_flat, gy_flat, S + 1, Hh, Wh,
                              si, yk_i, xk_i, theta, sigma_rel)
             xs.append(xf * s)
             ys.append(yf * s)

@@ -176,8 +176,8 @@ def sift_octave_maps(base: jnp.ndarray, first_octave: bool, S: int = 3,
 
       dog   (S+2, H, W)   DoG volume (for subpixel refinement)
       score (S, H, W)     extrema scores for INTERIOR DoG layers 1..S
-      mag   (S+1, H, W)   gradient magnitudes of blur levels 1..S+1
-      ang   (S+1, H, W)   gradient angles of the same levels
+      gx    (S+1, H, W)   raw d/dx central differences of blur levels 1..S+1
+      gy    (S+1, H, W)   raw d/dy of the same levels
       gS    (H, W)        blur level S (the next octave's 2x-downsample src)
 
     Callers gate on min(H, W) >= 2*halo (small tail octaves run the XLA
@@ -249,9 +249,9 @@ def sift_octave_maps(base: jnp.ndarray, first_octave: bool, S: int = 3,
 
     gs, dog, score, gx, gy = (o[0] for o in call(x[None]))
     sl = lambda a: a[..., :H, halo:halo + W]
-    gx, gy = sl(gx), sl(gy)
-    # magnitude/angle in XLA (atan2 has no Pallas TPU lowering); same
-    # formulas as features.sift._grad, so the differential stays exact
-    mag = jnp.sqrt(gx * gx + gy * gy)
-    ang = jnp.arctan2(gy, gx)
-    return sl(dog), sl(score), mag, ang, sl(gs)
+    # raw gx/gy, NOT magnitude/angle: the downstream orientation and
+    # descriptor stages consume gradients only through per-keypoint window
+    # gathers, so sqrt/atan2 run there on (K, P) windows — pointwise the
+    # same values, without materializing (or transcendental-evaluating)
+    # two full (S+1, H, W) planes per octave
+    return sl(dog), sl(score), sl(gx), sl(gy), sl(gs)

@@ -246,13 +246,63 @@ _blend_lowres_seams = jax.jit(_blend_lowres_seams_impl,
                               static_argnames=("cfg",))
 
 
-def _host_seam_blend(warped, masks, cfg: PipelineConfig, edges=None):
+@jax.jit
+def _overlap_bbox_device(m1, m2):
+    """Bbox of the pairwise overlap, computed ON DEVICE so only 5 scalars
+    cross the tunnel: [y0, x0, y1, x1, nonempty]."""
+    both = m1 & m2
+    rows = jnp.any(both, axis=1)
+    cols = jnp.any(both, axis=0)
+    h = rows.shape[0]
+    w = cols.shape[0]
+    y0 = jnp.argmax(rows)
+    y1 = h - jnp.argmax(rows[::-1])
+    x0 = jnp.argmax(cols)
+    x1 = w - jnp.argmax(cols[::-1])
+    return jnp.stack([y0, x0, y1, x1,
+                      jnp.any(both).astype(y0.dtype)])
+
+
+@functools.partial(jax.jit, static_argnames=("y0", "y1", "x0", "x1"))
+def _crop_quantize_impl(warped, masks, y0, y1, x0, x1):
+    """Device-side crop + uint8 quantization of the seam inputs. The
+    reference's seam finders consume CV_32F CONVERSIONS OF UINT8-warped
+    images (ref 特征点检测.cpp:1124-1134: warp outputs 8U, convertTo 32F
+    before seam find), so rounding to uint8 here is its exact input
+    semantics — and cuts the tunnel readback 4x."""
+    w = warped[:, y0:y1, x0:x1]
+    m = masks[:, y0:y1, x0:x1]
+    return jnp.clip(jnp.round(w), 0, 255).astype(jnp.uint8), m
+
+
+@jax.jit
+def _splice_seam_crop(masks, sm_crop, y0, x0):
+    """Recompose full-canvas seam masks from a bbox-cropped solve: outside
+    the crop a seam split changes nothing (seams live inside pairwise
+    overlaps), inside it the host's partition replaces the coverage."""
+    return jax.lax.dynamic_update_slice(masks, sm_crop,
+                                        (jnp.int32(0), y0, x0))
+
+
+def _host_seam_blend(warped, masks, cfg: PipelineConfig, edges=None,
+                     timings: dict | None = None):
     """Shared host-seam split driver: resolve host-only seams (graphcut /
     full-components DP) and blend. warped/masks stay on device; with
     cfg.seam.seam_megapix > 0 only decimated canvases are read back and
     only the low-res seam masks are uploaded. Returns (pano, valid,
-    seam_masks-or-None for dumping)."""
+    seam_masks-or-None for dumping).
+
+    `timings`, when given, collects a wall-clock phase breakdown
+    (readback_ms / seam_ms / blend_ms lists) — it inserts device barriers
+    between phases, so only pass it when instrumenting (bench.py)."""
     import dataclasses as _dc
+    import time as _time
+
+    def _mark(name, t0):
+        if timings is not None:
+            timings.setdefault(name, []).append(
+                (_time.perf_counter() - t0) * 1e3)
+        return _time.perf_counter()
 
     n, Hc, Wc = masks.shape[:3]
     sm = cfg.seam.seam_megapix
@@ -274,10 +324,54 @@ def _host_seam_blend(warped, masks, cfg: PipelineConfig, edges=None):
             warped, jnp.asarray(seam_lo), masks,
             jnp.asarray(yb), jnp.asarray(xb), cfg)
         return pano, valid, seam_lo
-    seam_masks = _host_seam_masks(np.asarray(warped), np.asarray(masks),
-                                  cfg, edges=edges)
+    # full-resolution host seams (the reference mains never decimate).
+    # For a graphcut PAIR, the cut lives entirely inside the pairwise
+    # overlap, so only the overlap bbox (padded so _one_is_left sees
+    # exclusive mass on both flanks) crosses the tunnel, as uint8 —
+    # round-5 measured the full-canvas float32 readback at 6.2 s of the
+    # 6.8 s total (BENCH_r05 graphcut_fullres split), ~26 MB/s tunnel.
+    if n == 2 and cfg.seam.kind.startswith("graphcut"):
+        bb = np.asarray(_overlap_bbox_device(masks[0], masks[1]))
+        if bb[4]:
+            MARGIN = 256
+            y0 = max(int(bb[0]) - MARGIN, 0)
+            x0 = max(int(bb[1]) - MARGIN, 0)
+            y1 = min(int(bb[2]) + MARGIN, Hc)
+            x1 = min(int(bb[3]) + MARGIN, Wc)
+            # align the crop EXTENT to 128 (grow toward the origin when
+            # clipped) so repeated calls reuse the compiled crop program
+            y0 = max(y1 - -(-(y1 - y0) // 128) * 128, 0)
+            x0 = max(x1 - -(-(x1 - x0) // 128) * 128, 0)
+            if (y1 - y0) * (x1 - x0) < Hc * Wc:
+                t0 = _time.perf_counter()
+                w_u8, m_crop = _crop_quantize_impl(warped, masks,
+                                                   y0, y1, x0, x1)
+                w_host = np.asarray(w_u8).astype(np.float32)
+                m_host = np.asarray(m_crop)
+                t0 = _mark("readback_ms", t0)
+                sm_crop = _host_seam_masks(w_host, m_host, cfg,
+                                           edges=edges)
+                t0 = _mark("seam_ms", t0)
+                seam_masks = _splice_seam_crop(
+                    masks, jnp.asarray(sm_crop),
+                    jnp.int32(y0), jnp.int32(x0))
+                pano, valid = blend_resolved(warped, seam_masks, masks,
+                                             cfg)
+                if timings is not None:
+                    float(pano[0, 0, 0])  # scalar readback: true barrier
+                    _mark("blend_ms", t0)
+                return pano, valid, seam_masks
+    t0 = _time.perf_counter()
+    w_host = np.asarray(warped)
+    m_host = np.asarray(masks)
+    t0 = _mark("readback_ms", t0)
+    seam_masks = _host_seam_masks(w_host, m_host, cfg, edges=edges)
+    t0 = _mark("seam_ms", t0)
     pano, valid = blend_resolved(warped, jnp.asarray(seam_masks), masks,
                                  cfg)
+    if timings is not None:
+        float(pano[0, 0, 0])  # scalar readback: true barrier
+        _mark("blend_ms", t0)
     return pano, valid, seam_masks
 
 
@@ -484,8 +578,19 @@ def stitch_pair_front_impl(img1: jnp.ndarray, img2: jnp.ndarray,
     if ws < 1.0:
         g1 = resize_linear_mxu(g1, (wdim(H1), wdim(W1)))
         g2 = resize_linear_mxu(g2, (wdim(H2), wdim(W2)))
-    f1 = detect_features(g1, cfg.detector)
-    f2 = detect_features(g2, cfg.detector)
+    if g1.shape == g2.shape:
+        # batch the two detects into ONE vmapped pass, like the chain and
+        # batched paths already do (the Pallas kernels fold the batch into
+        # their grid via custom_vmap; the XLA stages become width-2
+        # batched ops, halving per-op dispatch/padding overhead of the
+        # many small keypoint-stage ops — round-4 verdict weak #2)
+        feats = jax.vmap(
+            lambda g: detect_features(g, cfg.detector))(jnp.stack([g1, g2]))
+        f1 = jax.tree.map(lambda a: a[0], feats)
+        f2 = jax.tree.map(lambda a: a[1], feats)
+    else:
+        f1 = detect_features(g1, cfg.detector)
+        f2 = detect_features(g2, cfg.detector)
 
     # 3. match + homography (ref :307-308 of the matching project)
     mi = match_pair(f1, f2, key, 0, 1, cfg.matcher, cfg.ransac)

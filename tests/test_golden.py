@@ -150,6 +150,51 @@ def test_translation_pair_registration():
     assert offdiag[0, 1] < 0.01 and offdiag[1, 0] < 0.01
 
 
+def test_translation_pair_exposure_compensation():
+    """Exposure compensation on REAL pixels: apply a known gain to one
+    crop of the photo pair (an exposure step is, physically, a gain) and
+    check the GAIN compensator recovers the inverse ratio on the real
+    overlap statistics — the reference's GAIN stage
+    (ref 特征点检测.cpp:1114-1121) exercised on real sensor data."""
+    from imagestitch_tpu.exposure.gain import gain_compensate
+    from imagestitch_tpu.utils.io import photo_translation_pair
+
+    img1, img2, shift = photo_translation_pair()
+    GAIN = 1.3
+    img2g = np.clip(img2.astype(np.float32) * GAIN, 0, 255)
+    h, w = img1.shape[:2]
+    Wc = shift + w
+    c1 = np.zeros((h, Wc, 3), np.float32)
+    c2 = np.zeros((h, Wc, 3), np.float32)
+    m1 = np.zeros((h, Wc), bool)
+    m2 = np.zeros((h, Wc), bool)
+    c1[:, :w] = img1
+    m1[:, :w] = True
+    c2[:, shift:] = img2g
+    m2[:, shift:] = True
+    # keep the overlap stats clip-free: drop rows where the gained crop
+    # saturated (real highlights clip at 255)
+    ok_rows = (img2g[:, : w - shift] < 255).all(axis=(1, 2))
+    m1[~ok_rows] = False
+    m2[~ok_rows] = False
+    gains, comp = gain_compensate(
+        jnp.asarray(np.stack([c1, c2])), jnp.asarray(np.stack([m1, m2])),
+        jnp.zeros((2, 2), jnp.int32), shared_frame=True)
+    gains = np.asarray(gains)
+    ratio = gains[1] / gains[0]
+    # compensation must undo MOST of the relative exposure step (the
+    # OpenCV-exact solver regularizes gains toward 1 with beta=100, so a
+    # 2-image system recovers ~75-90% of a 1.3x step — cv2 matches; the
+    # exact-vs-cv2 differentials live in test_opencv_parity.py)
+    assert abs(ratio * GAIN - 1.0) < 0.12, (gains, ratio)
+    assert ratio < 0.93  # and it must move decisively toward 1/GAIN
+    # and the compensated overlap intensities must agree closely
+    ov = m1 & m2
+    d = np.abs(np.asarray(comp[0])[ov] - np.asarray(comp[1])[ov])
+    raw = np.abs(c1[ov] - np.stack([c2])[0][ov])
+    assert d.mean() < 0.35 * raw.mean()
+
+
 if __name__ == "__main__":
     if "--regen" not in sys.argv:
         sys.exit("usage: python tests/test_golden.py --regen")

@@ -241,6 +241,48 @@ def test_device_decimated_host_seam_matches_host_path(pair_front_192):
                        atol=1e-4)
 
 
+def test_fullres_bbox_host_seam_matches_full_readback():
+    """The full-resolution graphcut pair split reads back only the
+    overlap bbox as uint8 (round-5: the full-canvas float32 readback was
+    6.2 s of the 6.8 s total through the dev tunnel). The bbox+uint8 path
+    must produce the same coverage PARTITION as the all-host float path,
+    with the cut itself at most nudged by the uint8 quantization."""
+    from imagestitch_tpu.pipeline import _host_seam_blend, _host_seam_masks
+
+    rng = np.random.default_rng(3)
+    Hc, Wc = 600, 1400
+    yy, xx = np.mgrid[0:Hc, 0:Wc].astype(np.float32)
+    base = (120 + 60 * np.sin(xx / 37.0) * np.cos(yy / 23.0))
+    w1 = np.stack([base + 10 * rng.random((Hc, Wc)) for _ in range(3)], -1)
+    w2 = np.stack([base + 10 * rng.random((Hc, Wc)) for _ in range(3)], -1)
+    # a zero-cost channel through the overlap makes the optimal cut
+    # DISTINCT (pure-noise differences leave the min cut degenerate, and
+    # any perturbation legally moves it): both paths must find it
+    w2[:, 690:710] = w1[:, 690:710]
+    m1 = np.zeros((Hc, Wc), bool)
+    m2 = np.zeros((Hc, Wc), bool)
+    m1[:, :800] = True
+    m2[:, 600:] = True
+    warped = jnp.asarray(np.stack([w1, w2]), jnp.float32)
+    masks = jnp.asarray(np.stack([m1, m2]))
+    cfg = FAST_CFG.replace(
+        seam=SeamConfig(kind="graphcut", seam_megapix=-1.0),
+        blend=BlendConfig(kind="none"))
+
+    pano, valid, sm_new = _host_seam_blend(warped, masks, cfg)
+    sm_new = np.asarray(sm_new)
+    m_np = np.asarray(masks)
+    # partition: every covered pixel owned by exactly one image
+    assert (sm_new.any(0) == m_np.any(0)).all()
+    assert not (sm_new[0] & sm_new[1]).any()
+    assert (sm_new[0] <= m_np[0]).all() and (sm_new[1] <= m_np[1]).all()
+    # vs the all-host float32 full-canvas path
+    sm_ref = _host_seam_masks(np.asarray(warped), m_np, cfg)
+    disagree = (sm_new[0] ^ sm_ref[0]) & m_np.any(0)
+    assert disagree.mean() < 0.02, disagree.mean()
+    assert np.isfinite(np.asarray(pano)).all()
+
+
 def test_stitch_pair_plane_warp_reconstructs_scene():
     """With plane warp + pure translation the pano should reproduce the
     underlying wide scene almost exactly."""

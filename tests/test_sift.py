@@ -259,9 +259,9 @@ def test_pallas_sift_octave_maps_match_xla():
     S, sigma0, ct = 3, 1.6, 34.0 / 3
     assert min(gray.shape) >= 2 * octave_halo(S, sigma0, True)
 
-    dog_x, score_x, mag_x, ang_x, gs_x = _octave_maps(
+    dog_x, score_x, gx_x, gy_x, gs_x = _octave_maps(
         gray, True, S, sigma0, ct, use_pallas=False)
-    dog_p, score_p, mag_p, ang_p, gs_p = jax.jit(
+    dog_p, score_p, gx_p, gy_p, gs_p = jax.jit(
         lambda g: sift_octave_maps(g, True, S, sigma0, ct, interpret=True)
     )(gray)
 
@@ -269,13 +269,10 @@ def test_pallas_sift_octave_maps_match_xla():
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(gs_p), np.asarray(gs_x), atol=5e-3)
     sl = np.s_[:, 8:-8, 8:-8]
-    np.testing.assert_allclose(np.asarray(mag_p)[sl], np.asarray(mag_x)[sl],
+    np.testing.assert_allclose(np.asarray(gx_p)[sl], np.asarray(gx_x)[sl],
                                atol=5e-3)
-    # angles only matter where gradient magnitude is non-negligible
-    strong = np.asarray(mag_x)[sl] > 0.5
-    d_ang = np.abs(np.asarray(ang_p)[sl] - np.asarray(ang_x)[sl])
-    d_ang = np.minimum(d_ang, 2 * np.pi - d_ang)
-    assert d_ang[strong].max() < 2e-2
+    np.testing.assert_allclose(np.asarray(gy_p)[sl], np.asarray(gy_x)[sl],
+                               atol=5e-3)
     # extrema scores: same nonzero set and values on the interior
     np.testing.assert_allclose(np.asarray(score_p)[sl],
                                np.asarray(score_x)[sl], atol=5e-3)

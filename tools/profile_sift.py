@@ -43,17 +43,14 @@ def main():
     lat = median_ms(lambda: float(trivial(z)), 0.0, reps=9) / 1e3
     print(f"tunnel latency: {lat*1e3:.1f} ms", file=sys.stderr)
 
-    cfg = DetectorConfig()
-    # read the staged-programs' tunables from detect_and_compute_sift's own
-    # defaults so the breakdown always profiles the same configuration as
-    # the 'full detect' baseline (ADVICE r4)
-    import inspect
-    dflt = {k: p.default for k, p in inspect.signature(
-        S.detect_and_compute_sift).parameters.items()}
-    Ssc = dflt["scales_per_octave"]
-    sigma0 = dflt["sigma0"]
-    ct = dflt["contrast_thresh"] * 255.0 / Ssc
-    num_octaves = dflt["num_octaves"]
+    cfg = DetectorConfig(kind="sift")
+    # the staged programs read their tunables from the SAME config the
+    # 'full detect' baseline profiles (features.detect passes cfg.sift_*
+    # straight through), so the two can never diverge (ADVICE r4)
+    Ssc = cfg.sift_scales
+    sigma0 = cfg.sift_sigma
+    ct = cfg.sift_contrast_thresh * 255.0 / Ssc
+    num_octaves = cfg.sift_octaves
     use_pallas = jax.default_backend() == "tpu"
     shapes = S._octave_shapes(H, W, num_octaves)
     quota = max(cfg.max_keypoints // (2 * len(shapes)), 16)
@@ -63,7 +60,8 @@ def main():
     # ---- full detect ----
     @jax.jit
     def full(g):
-        f = S.detect_and_compute_sift(g, cfg)
+        from imagestitch_tpu.features import detect
+        f = detect(g, cfg)
         return jnp.sum(f.descriptors) + jnp.sum(f.xy) + jnp.sum(f.valid)
 
     t0 = time.perf_counter()
@@ -79,13 +77,13 @@ def main():
         base = g.astype(jnp.float32)
         acc = 0.0
         for o, (Hh, Wh) in enumerate(shapes):
-            dog, sc, mags, angs, gS = S._octave_maps(
+            dog, sc, gxs, gys, gS = S._octave_maps(
                 base, o == 0, Ssc, sigma0, ct, use_pallas)
             if o + 1 < len(shapes):
                 from imagestitch_tpu.ops.image import resize
                 base = resize(gS, shapes[o + 1], "linear")
-            acc = acc + jnp.sum(dog) + jnp.sum(sc) + jnp.sum(mags) \
-                + jnp.sum(angs)
+            acc = acc + jnp.sum(dog) + jnp.sum(sc) + jnp.sum(gxs) \
+                + jnp.sum(gys)
         return acc
 
     t0 = time.perf_counter()
@@ -100,7 +98,7 @@ def main():
         base = g.astype(jnp.float32)
         acc = 0.0
         for o, (Hh, Wh) in enumerate(shapes):
-            dog, sc, mags, angs, gS = S._octave_maps(
+            dog, sc, gxs, gys, gS = S._octave_maps(
                 base, o == 0, Ssc, sigma0, ct, use_pallas)
             if o + 1 < len(shapes):
                 from imagestitch_tpu.ops.image import resize
@@ -109,7 +107,7 @@ def main():
             # anchor every octave-map output (as maps_only does) so no map
             # is dead-code-eliminated on the XLA-composition path and the
             # stage delta isolates only top_k (ADVICE r4)
-            acc = acc + jnp.sum(dog) + jnp.sum(mags) + jnp.sum(angs) \
+            acc = acc + jnp.sum(dog) + jnp.sum(gxs) + jnp.sum(gys) \
                 + jnp.sum(top_s) + jnp.sum(top_i)
         return acc
 
@@ -124,7 +122,7 @@ def main():
         base = g.astype(jnp.float32)
         acc = 0.0
         for o, (Hh, Wh) in enumerate(shapes):
-            dog, sc, mags, angs, gS = S._octave_maps(
+            dog, sc, gxs, gys, gS = S._octave_maps(
                 base, o == 0, Ssc, sigma0, ct, use_pallas)
             if o + 1 < len(shapes):
                 from imagestitch_tpu.ops.image import resize
@@ -135,7 +133,7 @@ def main():
             yk = rem // Wh
             xk = rem % Wh
             li_r, yf, xf, ol, c_ok = S._refine_subpixel(dog, li, yk, xk, ct)
-            acc = acc + jnp.sum(sc) + jnp.sum(mags) + jnp.sum(angs) \
+            acc = acc + jnp.sum(sc) + jnp.sum(gxs) + jnp.sum(gys) \
                 + jnp.sum(yf) + jnp.sum(xf) + jnp.sum(c_ok)
         return acc
 
@@ -150,7 +148,7 @@ def main():
         base = g.astype(jnp.float32)
         acc = 0.0
         for o, (Hh, Wh) in enumerate(shapes):
-            dog, sc, mags, angs, gS = S._octave_maps(
+            dog, sc, gxs, gys, gS = S._octave_maps(
                 base, o == 0, Ssc, sigma0, ct, use_pallas)
             if o + 1 < len(shapes):
                 from imagestitch_tpu.ops.image import resize
@@ -166,7 +164,7 @@ def main():
             si = jnp.clip(li_r - 1, 0, Ssc)
             lf = li_r.astype(jnp.float32) + ol
             sigma_rel = sigma0 * (2.0 ** (jnp.clip(lf, 0.0, Ssc + 1.0) / Ssc))
-            th, ok = S._orientations(mags.reshape(-1), angs.reshape(-1),
+            th, ok = S._orientations(gxs.reshape(-1), gys.reshape(-1),
                                      Ssc + 1, Hh, Wh, si, yk_i, xk_i,
                                      sigma_rel)
             acc = acc + jnp.sum(sc) + jnp.sum(dog) \
