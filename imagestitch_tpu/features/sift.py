@@ -162,6 +162,46 @@ def _dog_extrema_scores(dog: jnp.ndarray, contrast_thresh: float,
     return score * mask_y[None, :, None] * mask_x[None, None, :]
 
 
+def _topk_block_candidates(score_int: jnp.ndarray, quota: int):
+    """Top-`quota` extrema candidates from the (S, H, W) score volume via
+    block-max coarsening — the ORB selection pattern (features/orb.py
+    two-stage selection): a full top_k sort over the flattened megapixel
+    volume costs 15.6 ms of the 30.7 ms 1080p detect on TPU; post-NMS DoG
+    extrema are sparse (~1 per 3000 px survives), so cap ONE candidate per
+    (8, 16) spatial block PER SCALE LAYER and top_k only the block
+    winners (~128x smaller sort). Returns (top_s, top_i) with top_i a
+    flat index into the (S, H, W) volume; zero-score slots are the
+    caller's invalid markers, exactly like plain top_k's."""
+    S, H, W = score_int.shape
+    BH, BW = 8, 16
+    Hp = -(-H // BH) * BH
+    Wp = -(-W // BW) * BW
+    sp = jnp.pad(score_int, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    sb = (sp.reshape(S, Hp // BH, BH, Wp // BW, BW)
+          .transpose(0, 1, 3, 2, 4).reshape(S, -1, BH * BW))
+    bmax = jnp.max(sb, axis=-1)                      # (S, nB)
+    barg = jnp.argmax(sb, axis=-1).astype(jnp.int32)
+    nbx = Wp // BW
+    bi = jnp.arange(bmax.shape[1], dtype=jnp.int32)[None, :]
+    wy = (bi // nbx) * BH + barg // BW               # (S, nB)
+    wx = (bi % nbx) * BW + barg % BW
+    widx = (jnp.arange(S, dtype=jnp.int32)[:, None] * (H * W)
+            + wy * W + wx)
+    # pad-region winners carry score 0 (invalid), but clamp their flat
+    # index into range so downstream integer math stays in bounds
+    widx = jnp.minimum(widx, S * H * W - 1)
+    nwin = bmax.size
+    kq = min(quota, nwin)
+    top_s, top_b = jax.lax.top_k(bmax.reshape(-1), kq)
+    top_i = widx.reshape(-1)[top_b]
+    if kq < quota:                   # tiny tail octaves: pad invalid slots
+        top_s = jnp.concatenate(
+            [top_s, jnp.zeros((quota - kq,), top_s.dtype)])
+        top_i = jnp.concatenate(
+            [top_i, jnp.zeros((quota - kq,), top_i.dtype)])
+    return top_s, top_i
+
+
 def _gather_dog(dog_flat, L, H, W, li, yi, xi):
     li = jnp.clip(li, 0, L - 1)
     yi = jnp.clip(yi, 0, H - 1)
@@ -275,7 +315,7 @@ def _gather_scaled(stack_flat, S, H, W, si, yk, xk, dv, du):
     return stack_flat[(si[:, None] * H + yi) * W + xi]
 
 
-def _orientations(gx_flat, gy_flat, S, H, W, si, yk, xk, sigma_rel,
+def _orientations(gx_stack, gy_stack, S, H, W, si, yk, xk, sigma_rel,
                   rad: int = 12, n_peaks: int = 2):
     """Up to `n_peaks` gradient orientations per keypoint (Lowe §5).
 
@@ -287,8 +327,23 @@ def _orientations(gx_flat, gy_flat, S, H, W, si, yk, xk, sigma_rel,
     dv_np, du_np = _window_offsets(rad)
     dv = jnp.asarray(dv_np)
     du = jnp.asarray(du_np)
-    gx = _gather_scaled(gx_flat, S, H, W, si, yk, xk, dv, du)    # (K, P)
-    gy = _gather_scaled(gy_flat, S, H, W, si, yk, xk, dv, du)
+    # axis-aligned windows: per-keypoint dynamic_slice out of an
+    # edge-padded stack (edge pad == the old flat gather's clip-to-edge,
+    # exactly) — measured 1.6x faster than the flat per-element gather on
+    # TPU (tools/exp_gather.py); the descriptor's ROTATED windows keep the
+    # flat-gather formulation
+    win = 2 * rad + 1
+    gxp = jnp.pad(gx_stack.reshape(S, H, W),
+                  ((0, 0), (rad, rad), (rad, rad)), mode="edge")
+    gyp = jnp.pad(gy_stack.reshape(S, H, W),
+                  ((0, 0), (rad, rad), (rad, rad)), mode="edge")
+
+    def one(s, y, x):
+        wx = jax.lax.dynamic_slice(gxp, (s, y, x), (1, win, win))
+        wy = jax.lax.dynamic_slice(gyp, (s, y, x), (1, win, win))
+        return wx.reshape(-1), wy.reshape(-1)
+
+    gx, gy = jax.vmap(one)(si, yk, xk)                           # (K, P)
     m = jnp.sqrt(gx * gx + gy * gy)
     a = jnp.arctan2(gy, gx)
     r2 = (du.astype(jnp.float32) ** 2 + dv.astype(jnp.float32) ** 2)[None, :]
@@ -438,8 +493,7 @@ def detect_and_compute_sift(gray: jnp.ndarray,
             base, o == 0, S, sigma0, contrast_thresh, use_pallas)
         if o + 1 < len(shapes):
             base = resize(gS, shapes[o + 1], "linear")
-        flat = score_int.reshape(-1)
-        top_s, top_i = jax.lax.top_k(flat, quota)
+        top_s, top_i = _topk_block_candidates(score_int, quota)
         v = top_s > 0
         li = top_i // (Hh * Wh) + 1      # interior layer -> DoG layer index
         rem = top_i % (Hh * Wh)
@@ -460,14 +514,22 @@ def detect_and_compute_sift(gray: jnp.ndarray,
         sigma_rel = sigma0 * (2.0 ** (jnp.clip(lf, 0.0, S + 1.0) / S))
 
         thetas, peak_ok = _orientations(
-            gx_flat, gy_flat, S + 1, Hh, Wh, si, yk_i, xk_i, sigma_rel)
+            gx_stack, gy_stack, S + 1, Hh, Wh, si, yk_i, xk_i, sigma_rel)
 
         s = float(2 ** o)
-        for p in range(thetas.shape[0]):
+        # ONE descriptor call for all orientation peaks (row p*quota+k is
+        # peak p of keypoint k): same per-row math, but the gathers and
+        # soft-assign contractions run at 2x batch instead of as two small
+        # calls per octave
+        npk = thetas.shape[0]
+        d_all = _descriptors(gx_flat, gy_flat, S + 1, Hh, Wh,
+                             jnp.tile(si, npk), jnp.tile(yk_i, npk),
+                             jnp.tile(xk_i, npk), thetas.reshape(-1),
+                             jnp.tile(sigma_rel, npk))
+        for p in range(npk):
             theta = thetas[p]
             vp = v & peak_ok[p]
-            d = _descriptors(gx_flat, gy_flat, S + 1, Hh, Wh,
-                             si, yk_i, xk_i, theta, sigma_rel)
+            d = d_all[p * quota:(p + 1) * quota]
             xs.append(xf * s)
             ys.append(yf * s)
             resp.append(jnp.where(vp, top_s, 0.0))

@@ -103,7 +103,7 @@ def main():
             if o + 1 < len(shapes):
                 from imagestitch_tpu.ops.image import resize
                 base = resize(gS, shapes[o + 1], "linear")
-            top_s, top_i = jax.lax.top_k(sc.reshape(-1), quota)
+            top_s, top_i = S._topk_block_candidates(sc, quota)
             # anchor every octave-map output (as maps_only does) so no map
             # is dead-code-eliminated on the XLA-composition path and the
             # stage delta isolates only top_k (ADVICE r4)
@@ -127,7 +127,7 @@ def main():
             if o + 1 < len(shapes):
                 from imagestitch_tpu.ops.image import resize
                 base = resize(gS, shapes[o + 1], "linear")
-            top_s, top_i = jax.lax.top_k(sc.reshape(-1), quota)
+            top_s, top_i = S._topk_block_candidates(sc, quota)
             li = top_i // (Hh * Wh) + 1
             rem = top_i % (Hh * Wh)
             yk = rem // Wh
@@ -153,7 +153,7 @@ def main():
             if o + 1 < len(shapes):
                 from imagestitch_tpu.ops.image import resize
                 base = resize(gS, shapes[o + 1], "linear")
-            top_s, top_i = jax.lax.top_k(sc.reshape(-1), quota)
+            top_s, top_i = S._topk_block_candidates(sc, quota)
             li = top_i // (Hh * Wh) + 1
             rem = top_i % (Hh * Wh)
             yk = rem // Wh
@@ -164,7 +164,7 @@ def main():
             si = jnp.clip(li_r - 1, 0, Ssc)
             lf = li_r.astype(jnp.float32) + ol
             sigma_rel = sigma0 * (2.0 ** (jnp.clip(lf, 0.0, Ssc + 1.0) / Ssc))
-            th, ok = S._orientations(gxs.reshape(-1), gys.reshape(-1),
+            th, ok = S._orientations(gxs, gys,
                                      Ssc + 1, Hh, Wh, si, yk_i, xk_i,
                                      sigma_rel)
             acc = acc + jnp.sum(sc) + jnp.sum(dog) \
