@@ -284,6 +284,10 @@ def _crop_quantize_impl(warped, masks, y0, y1, x0, x1):
     return jnp.clip(jnp.round(w), 0, 255).astype(jnp.uint8), m
 
 
+_quantize_u8 = jax.jit(
+    lambda w: jnp.clip(jnp.round(w), 0, 255).astype(jnp.uint8))
+
+
 @jax.jit
 def _splice_seam_crop(masks, sm_crop, y0, x0):
     """Recompose full-canvas seam masks from a bbox-cropped solve: outside
@@ -371,7 +375,14 @@ def _host_seam_blend(warped, masks, cfg: PipelineConfig, edges=None,
                     _mark("blend_ms", t0)
                 return pano, valid, seam_masks
     t0 = _time.perf_counter()
-    w_host = np.asarray(warped)
+    if cfg.seam.kind.startswith("graphcut"):
+        # N-image full-res graphcut (chains/Stitcher): no single pairwise
+        # bbox to crop to, but the uint8 quantization still applies (the
+        # reference's seam inputs are integer-valued, see above) — 4x
+        # less tunnel traffic than float32 canvases
+        w_host = np.asarray(_quantize_u8(warped)).astype(np.float32)
+    else:
+        w_host = np.asarray(warped)
     m_host = np.asarray(masks)
     t0 = _mark("readback_ms", t0)
     seam_masks = _host_seam_masks(w_host, m_host, cfg, edges=edges)

@@ -283,6 +283,30 @@ def test_fullres_bbox_host_seam_matches_full_readback():
     assert np.isfinite(np.asarray(pano)).all()
 
 
+def test_stitch_three_images_fullres_graphcut():
+    """N>2 full-resolution graphcut goes through the quantized full-canvas
+    readback (no single pairwise bbox to crop to): the Stitcher's 3-image
+    pano must still partition and compose."""
+    import dataclasses
+
+    from imagestitch_tpu.pipeline import stitch
+    from imagestitch_tpu.utils.io import synthetic_sequence
+
+    from imagestitch_tpu.config import WarpConfig
+
+    views, shift = synthetic_sequence(3, 192, 256, overlap=0.7, seed=11)
+    cfg = FAST_CFG.replace(
+        warp=WarpConfig(kind="plane", canvas_scale_w=1.8,
+                        canvas_scale_h=1.4),
+        camera=CameraConfig(ba_refine=False),
+        seam=SeamConfig(kind="graphcut", seam_megapix=-1.0),
+        matcher=dataclasses.replace(FAST_CFG.matcher, conf_thresh=0.3))
+    pano, metrics = stitch(views, cfg)
+    assert pano.shape[1] > 256 + shift      # spans all three views
+    assert np.asarray(pano).std() > 20
+    assert all(metrics["reachable"])
+
+
 def test_stitch_pair_plane_warp_reconstructs_scene():
     """With plane warp + pure translation the pano should reproduce the
     underlying wide scene almost exactly."""
