@@ -240,30 +240,30 @@ def extras_bench(lat, extra, emit):
                 x, y, k, cfg)
             return warped, masks, (warped.sum() + mt["num_inliers"])
 
-        split = {}
-
-        def once():
+        def once(timings=None):
             warped, masks, chk = front(a1, a2, key, cfg)
             float(chk)  # barrier: front complete
             # the PRODUCTION split driver (pipeline._host_seam_blend):
             # decimated readback when seam_megapix > 0, overlap-bbox uint8
-            # readback for full-res graphcut pairs — with its own phase
-            # breakdown (barriers only exist because timings is passed)
+            # readback for full-res graphcut pairs
             pano, valid, _ = _host_seam_blend(warped, masks, cfg,
-                                              timings=split)
+                                              timings=timings)
             return float(pano.sum() + valid.sum())  # barrier: blend done
 
         once()  # warm (compiles + native lib)
-        for k_ in split:
-            split[k_].clear()
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            once()
+            once()   # timings=None: the timed path has NO extra barriers
             times.append((time.perf_counter() - t0 - 2 * lat) * 1e3)
         ms = float(np.median(times))
         extra[label] = round(ms, 2)
         _log(f"  {label}: {ms:.1f} ms")
+        # phase breakdown from SEPARATE instrumented calls (the timings
+        # barriers would inflate the headline number by ~1 tunnel RTT)
+        split = {}
+        for _ in range(2):
+            once(timings=split)
         if split.get("seam_ms"):
             bd = {k_: round(float(np.median(v)), 1)
                   for k_, v in split.items()}

@@ -308,13 +308,6 @@ def _window_offsets(rad: int):
     return (vs.reshape(-1).astype(np.int32), us.reshape(-1).astype(np.int32))
 
 
-def _gather_scaled(stack_flat, S, H, W, si, yk, xk, dv, du):
-    """Gather stack[si, yk+dv, xk+du] -> (K, P). si: per-keypoint scale."""
-    yi = jnp.clip(yk[:, None] + dv[None, :], 0, H - 1)
-    xi = jnp.clip(xk[:, None] + du[None, :], 0, W - 1)
-    return stack_flat[(si[:, None] * H + yi) * W + xi]
-
-
 def _orientations(gx_stack, gy_stack, S, H, W, si, yk, xk, sigma_rel,
                   rad: int = 12, n_peaks: int = 2):
     """Up to `n_peaks` gradient orientations per keypoint (Lowe §5).

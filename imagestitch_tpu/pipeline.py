@@ -167,7 +167,8 @@ def _needs_host_seam(cfg: PipelineConfig) -> bool:
                 and cfg.seam.full_components))
 
 
-def _host_seam_masks(warped, masks, cfg: PipelineConfig, edges=None):
+def _host_seam_masks(warped, masks, cfg: PipelineConfig, edges=None,
+                     pair_marginals=None, crop_origin=(0, 0)):
     """Resolve seams on the host: native-BK graphcut per pair (along
     `edges` — the camera spanning tree when the Stitcher provides it,
     consecutive chain order otherwise), or the full reference DpSeamFinder
@@ -217,7 +218,11 @@ def _host_seam_masks(warped, masks, cfg: PipelineConfig, edges=None):
         for (u, v) in edges:
             m_list[u], m_list[v] = graphcut_seam_pair(
                 warped[u], warped[v], m_list[u], m_list[v],
-                use_grad=cfg.seam.kind.endswith("colorgrad"))
+                use_grad=cfg.seam.kind.endswith("colorgrad"),
+                # full-canvas orientation evidence for bbox-cropped pair
+                # inputs (only the 2-image fast path passes this)
+                orient_marginals=pair_marginals if n == 2 else None,
+                crop_origin=crop_origin)
         return np.stack(m_list)
     from imagestitch_tpu.seam.dp_full import dp_seam_find_full
     out = dp_seam_find_full(
@@ -257,8 +262,13 @@ _blend_lowres_seams = jax.jit(_blend_lowres_seams_impl,
 
 @jax.jit
 def _overlap_bbox_device(m1, m2):
-    """Bbox of the pairwise overlap, computed ON DEVICE so only 5 scalars
-    cross the tunnel: [y0, x0, y1, x1, nonempty]."""
+    """Bbox of the pairwise overlap + full-canvas orientation marginals,
+    computed ON DEVICE so only scalars + four (W,)/(H,) count vectors
+    (~KBs) cross the tunnel. Returns (bbox [y0, x0, y1, x1, nonempty],
+    col_marginals, row_marginals) with each marginal set = per-column/-row
+    pixel counts of (exclusive-1, exclusive-2, mask1, mask2) — the
+    side-ownership evidence the bbox crop would otherwise remove (see
+    seam.graphcut._one_is_left_marginals)."""
     both = m1 & m2
     rows = jnp.any(both, axis=1)
     cols = jnp.any(both, axis=0)
@@ -268,19 +278,30 @@ def _overlap_bbox_device(m1, m2):
     y1 = h - jnp.argmax(rows[::-1])
     x0 = jnp.argmax(cols)
     x1 = w - jnp.argmax(cols[::-1])
-    return jnp.stack([y0, x0, y1, x1,
-                      jnp.any(both).astype(y0.dtype)])
+    bbox = jnp.stack([y0, x0, y1, x1, jnp.any(both).astype(y0.dtype)])
+    e1 = m1 & ~m2
+    e2 = m2 & ~m1
+    colm = tuple(a.sum(axis=0).astype(jnp.float32) for a in (e1, e2, m1, m2))
+    rowm = tuple(a.sum(axis=1).astype(jnp.float32) for a in (e1, e2, m1, m2))
+    return bbox, colm, rowm
 
 
-@functools.partial(jax.jit, static_argnames=("y0", "y1", "x0", "x1"))
-def _crop_quantize_impl(warped, masks, y0, y1, x0, x1):
+@functools.partial(jax.jit, static_argnames=("hh", "ww"))
+def _crop_quantize_impl(warped, masks, y0, x0, hh, ww):
     """Device-side crop + uint8 quantization of the seam inputs. The
     reference's seam finders consume CV_32F CONVERSIONS OF UINT8-warped
     images (ref 特征点检测.cpp:1124-1134: warp outputs 8U, convertTo 32F
     before seam find), so rounding to uint8 here is its exact input
-    semantics — and cuts the tunnel readback 4x."""
-    w = warped[:, y0:y1, x0:x1]
-    m = masks[:, y0:y1, x0:x1]
+    semantics — and cuts the tunnel readback 4x.
+
+    Only the EXTENT (hh, ww) is static (128-aligned by the caller, so a
+    handful of executables serve all geometries); the crop ORIGIN is
+    traced data — a static origin would recompile per pair geometry."""
+    n = warped.shape[0]
+    c = warped.shape[3]
+    w = jax.lax.dynamic_slice(
+        warped, (jnp.int32(0), y0, x0, jnp.int32(0)), (n, hh, ww, c))
+    m = jax.lax.dynamic_slice(masks, (jnp.int32(0), y0, x0), (n, hh, ww))
     return jnp.clip(jnp.round(w), 0, 255).astype(jnp.uint8), m
 
 
@@ -344,7 +365,9 @@ def _host_seam_blend(warped, masks, cfg: PipelineConfig, edges=None,
     # round-5 measured the full-canvas float32 readback at 6.2 s of the
     # 6.8 s total (BENCH_r05 graphcut_fullres split), ~26 MB/s tunnel.
     if n == 2 and cfg.seam.kind.startswith("graphcut"):
-        bb = np.asarray(_overlap_bbox_device(masks[0], masks[1]))
+        t0 = _time.perf_counter()
+        bb_d, colm_d, rowm_d = _overlap_bbox_device(masks[0], masks[1])
+        bb, colm, rowm = jax.device_get((bb_d, colm_d, rowm_d))
         if bb[4]:
             MARGIN = 256
             y0 = max(int(bb[0]) - MARGIN, 0)
@@ -352,18 +375,20 @@ def _host_seam_blend(warped, masks, cfg: PipelineConfig, edges=None,
             y1 = min(int(bb[2]) + MARGIN, Hc)
             x1 = min(int(bb[3]) + MARGIN, Wc)
             # align the crop EXTENT to 128 (grow toward the origin when
-            # clipped) so repeated calls reuse the compiled crop program
+            # clipped); the extent is the crop program's only static arg,
+            # so a handful of executables serve all pair geometries
             y0 = max(y1 - -(-(y1 - y0) // 128) * 128, 0)
             x0 = max(x1 - -(-(x1 - x0) // 128) * 128, 0)
             if (y1 - y0) * (x1 - x0) < Hc * Wc:
-                t0 = _time.perf_counter()
-                w_u8, m_crop = _crop_quantize_impl(warped, masks,
-                                                   y0, y1, x0, x1)
+                w_u8, m_crop = _crop_quantize_impl(
+                    warped, masks, jnp.int32(y0), jnp.int32(x0),
+                    y1 - y0, x1 - x0)
                 w_host = np.asarray(w_u8).astype(np.float32)
                 m_host = np.asarray(m_crop)
                 t0 = _mark("readback_ms", t0)
-                sm_crop = _host_seam_masks(w_host, m_host, cfg,
-                                           edges=edges)
+                sm_crop = _host_seam_masks(
+                    w_host, m_host, cfg, edges=edges,
+                    pair_marginals=(colm, rowm), crop_origin=(y0, x0))
                 t0 = _mark("seam_ms", t0)
                 seam_masks = _splice_seam_crop(
                     masks, jnp.asarray(sm_crop),

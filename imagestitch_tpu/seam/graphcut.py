@@ -106,13 +106,20 @@ def _grid_costs(d2, g, u, use_grad, dxs=None, dys=None):
 
 def graphcut_seam_pair(img1: np.ndarray, img2: np.ndarray,
                        mask1: np.ndarray, mask2: np.ndarray,
-                       use_grad: bool = False, method: str = "auto"):
+                       use_grad: bool = False, method: str = "auto",
+                       orient_marginals=None, crop_origin=(0, 0)):
     """Resolve the overlap of two shared-frame canvases by min-cut.
 
     img*: (H, W, C) float; mask*: (H, W) bool. method: "auto" (banded dual
     solver for large overlaps, BK otherwise), "bk", or "banded".
     Returns (mask1', mask2').
-    """
+
+    `orient_marginals` (optional): ((col_marginals), (row_marginals)) of
+    the FULL canvas when img/mask are a bbox crop of a larger frame —
+    each set is per-column/-row pixel counts (excl1, excl2, mask1, mask2)
+    — with `crop_origin` = (y, x) of the crop in that frame, so the
+    banded solver's side-ownership decision uses evidence the crop
+    removed (see _one_is_left_marginals)."""
     mask1 = np.asarray(mask1, bool)
     mask2 = np.asarray(mask2, bool)
     img1 = np.asarray(img1, np.float32)
@@ -130,7 +137,9 @@ def graphcut_seam_pair(img1: np.ndarray, img2: np.ndarray,
     ov_area = (int(oys.max()) + 1 - int(oys.min())) * \
         (int(oxs.max()) + 1 - int(oxs.min()))
     if method == "banded" or (method == "auto" and ov_area > BK_LIMIT):
-        return _banded_cut_pair(img1, img2, mask1, mask2, use_grad)
+        return _banded_cut_pair(img1, img2, mask1, mask2, use_grad,
+                                orient_marginals=orient_marginals,
+                                crop_origin=crop_origin)
 
     y0, y1 = ys.min(), ys.max() + 1
     x0, x1 = xs.min(), xs.max() + 1
@@ -192,16 +201,27 @@ def _one_is_left(mask1, mask2, x_lo, x_hi):
     mask centroids when neither has exclusive mass outside the corridor."""
     e1 = mask1 & ~mask2
     e2 = mask2 & ~mask1
-    l1 = int(e1[:, :x_lo].sum())
-    l2 = int(e2[:, :x_lo].sum())
-    r1 = int(e1[:, x_hi:].sum())
-    r2 = int(e2[:, x_hi:].sum())
+    return _one_is_left_marginals(
+        (e1.sum(0), e2.sum(0), mask1.sum(0), mask2.sum(0)), x_lo, x_hi)
+
+
+def _one_is_left_marginals(col_marg, x_lo, x_hi):
+    """_one_is_left from COLUMN MARGINALS (per-column pixel counts of
+    exclusive-1, exclusive-2, mask1, mask2). The bbox-cropped pipeline
+    path passes FULL-CANVAS marginals (computed on device, ~KBs through
+    the tunnel) so the side-ownership decision sees the exclusive mass the
+    crop removed and can never flip relative to the full-canvas solve."""
+    e1c, e2c, m1c, m2c = (np.asarray(v, np.float64) for v in col_marg)
+    l1 = e1c[:x_lo].sum()
+    l2 = e2c[:x_lo].sum()
+    r1 = e1c[x_hi:].sum()
+    r2 = e2c[x_hi:].sum()
     score = (l1 + r2) - (l2 + r1)
     if score != 0:
         return score > 0
-    xs_all = np.arange(mask1.shape[1], dtype=np.float64)
-    c1 = (mask1.sum(0) * xs_all).sum() / max(mask1.sum(), 1)
-    c2 = (mask2.sum(0) * xs_all).sum() / max(mask2.sum(), 1)
+    xs_all = np.arange(len(m1c), dtype=np.float64)
+    c1 = (m1c * xs_all).sum() / max(m1c.sum(), 1)
+    c2 = (m2c * xs_all).sum() / max(m2c.sum(), 1)
     return c1 <= c2
 
 
@@ -231,7 +251,8 @@ def _block_reduce(a, s, fn):
 COARSE_STRIDE = 4
 
 
-def _banded_cut_pair(img1, img2, mask1, mask2, use_grad=False):
+def _banded_cut_pair(img1, img2, mask1, mask2, use_grad=False,
+                     orient_marginals=None, crop_origin=(0, 0)):
     """Large-overlap path: a FULL-WIDTH coarse dual solve seeds the
     corridor (so distant cheap channels are seen globally), then the exact
     fine solve runs inside it, doubling the band whenever the cut touches
@@ -247,7 +268,13 @@ def _banded_cut_pair(img1, img2, mask1, mask2, use_grad=False):
     if transpose:
         i1, i2 = img1.transpose(1, 0, 2), img2.transpose(1, 0, 2)
         m1, m2 = mask1.T, mask2.T
-        out1, out2 = _banded_cut_pair(i1, i2, m1, m2, use_grad)
+        # transposed view: its column marginals are the original's ROW
+        # marginals, and the crop origin's axes swap
+        tm = (None if orient_marginals is None
+              else (orient_marginals[1], orient_marginals[0]))
+        out1, out2 = _banded_cut_pair(i1, i2, m1, m2, use_grad,
+                                      orient_marginals=tm,
+                                      crop_origin=crop_origin[::-1])
         return out1.T, out2.T
 
     dxs = dys = None
@@ -322,7 +349,12 @@ def _banded_cut_pair(img1, img2, mask1, mask2, use_grad=False):
     # at corner columns <= x
     parity = np.cumsum(crossings[:, :-1], axis=1) % 2 == 0
 
-    one_left = _one_is_left(mask1, mask2, x0 + bx0, x0 + bx1)
+    if orient_marginals is not None:
+        ox = int(crop_origin[1])
+        one_left = _one_is_left_marginals(
+            orient_marginals[0], ox + x0 + bx0, ox + x0 + bx1)
+    else:
+        one_left = _one_is_left(mask1, mask2, x0 + bx0, x0 + bx1)
 
     keep1 = np.zeros((h, w), bool)          # overlap pixels img1 keeps
     keep1[:, :bx0] = True

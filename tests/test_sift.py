@@ -295,3 +295,31 @@ def test_pallas_sift_batched_fold():
                                    atol=1e-4)
         np.testing.assert_allclose(np.asarray(ob[1]), np.asarray(o1),
                                    atol=1e-4)
+
+
+def test_topk_block_candidates_contract():
+    """The selection stage caps ONE candidate per (8, 16) spatial block
+    PER SCALE LAYER (the documented recall tradeoff vs the exact top_k it
+    replaced — features/sift.py _topk_block_candidates): within one block
+    and layer only the strongest extremum survives; the same block in a
+    DIFFERENT layer keeps its own winner; other blocks are independent."""
+    from imagestitch_tpu.features.sift import _topk_block_candidates
+
+    S, H, W = 2, 32, 64
+    score = np.zeros((S, H, W), np.float32)
+    score[0, 2, 3] = 5.0    # block (0, 0), layer 0: winner
+    score[0, 4, 9] = 4.0    # same block+layer: dropped by design
+    score[1, 3, 5] = 3.0    # same block, layer 1: its own winner
+    score[0, 10, 40] = 2.0  # different block: kept
+    top_s, top_i = _topk_block_candidates(jnp.asarray(score), 8)
+    got = {(int(i), float(s))
+           for s, i in zip(np.asarray(top_s), np.asarray(top_i)) if s > 0}
+
+    def flat(layer, y, x):
+        return layer * H * W + y * W + x
+
+    assert (flat(0, 2, 3), 5.0) in got
+    assert (flat(1, 3, 5), 3.0) in got
+    assert (flat(0, 10, 40), 2.0) in got
+    assert not any(i == flat(0, 4, 9) for i, _ in got)
+    assert len(got) == 3

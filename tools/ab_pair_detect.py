@@ -29,6 +29,7 @@ def main():
     from imagestitch_tpu.config import PipelineConfig
     from imagestitch_tpu.utils.io import synthetic_rotation_pair
 
+    entry_flag = pl._BATCH_PAIR_DETECT
     float(jax.jit(lambda x: x.sum())(jnp.ones((8,))))  # tunnel bootstrap
     cfg = PipelineConfig()
     key = jax.random.key(0)
@@ -61,7 +62,7 @@ def main():
                      reverse=True)[:8]
         for v, k in top:
             print(f"  {v/3:8.2f} ms/call  {k}", file=sys.stderr)
-    pl._BATCH_PAIR_DETECT = True
+    pl._BATCH_PAIR_DETECT = entry_flag  # restore the module default
 
 
 if __name__ == "__main__":

@@ -5,7 +5,7 @@ image (25x25 and 17x17 windows around ~1500 keypoints from the per-scale
 gradient stacks); profile_sift attributes ~12 ms of the 30 ms detect to
 them. Compares, at 1080p octave-0 scale:
 
-  A  flat per-element gather (the current _gather_scaled formulation)
+  A  flat per-element gather (the descriptor stage's formulation)
   B  vmap(lax.dynamic_slice) per keypoint (slice-gather lowering)
   C  flat per-element gather in bfloat16 (half the bytes)
 
