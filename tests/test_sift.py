@@ -323,3 +323,39 @@ def test_topk_block_candidates_contract():
     assert (flat(0, 10, 40), 2.0) in got
     assert not any(i == flat(0, 4, 9) for i, _ in got)
     assert len(got) == 3
+
+
+def test_topk_block_candidates_random_property():
+    """Property vs a NumPy reference of the documented contract: the
+    result set equals {per-(layer, 8x16-block) max > 0}, top-quota by
+    score, with indices pointing at true argmax positions."""
+    rng = np.random.default_rng(7)
+    from imagestitch_tpu.features.sift import _topk_block_candidates
+
+    for trial in range(3):
+        S, H, W = 3, int(rng.integers(17, 41)), int(rng.integers(30, 70))
+        score = np.zeros((S, H, W), np.float32)
+        n = int(rng.integers(5, 40))
+        score[rng.integers(0, S, n), rng.integers(0, H, n),
+              rng.integers(0, W, n)] = rng.uniform(1, 100, n).astype(
+                  np.float32)
+        quota = 16
+        top_s, top_i = _topk_block_candidates(jnp.asarray(score), quota)
+        top_s, top_i = np.asarray(top_s), np.asarray(top_i)
+
+        # NumPy reference: block winners per (layer, 8x16 block)
+        winners = {}
+        for l in range(S):
+            for y in range(H):
+                for x in range(W):
+                    v = score[l, y, x]
+                    if v <= 0:
+                        continue
+                    key = (l, y // 8, x // 16)
+                    if key not in winners or v > winners[key][0]:
+                        winners[key] = (v, l * H * W + y * W + x)
+        want = sorted(winners.values(), reverse=True)[:quota]
+        got = sorted(((float(s), int(i))
+                      for s, i in zip(top_s, top_i) if s > 0), reverse=True)
+        assert [w[0] for w in want] == [g[0] for g in got], trial
+        assert {w[1] for w in want} == {g[1] for g in got}, trial
