@@ -588,7 +588,9 @@ def main():
             return float(s)  # single scalar readback = single barrier
         one()  # warm
         times = []
-        for _ in range(6):
+        # 10 reps (~0.4 s): the tunnel's per-dispatch jitter is the
+        # headline's dominant noise term, and the median hardens with reps
+        for _ in range(10):
             t0 = time.perf_counter()
             one()
             times.append((time.perf_counter() - t0 - lat) * 1e3)

@@ -216,3 +216,19 @@ if __name__ == "__main__":
           f"({r['down'].shape[1]}x{r['down'].shape[0]}), "
           f"focal={r['focal']:.1f} (true {r['f_true']:.1f}), "
           f"inliers={r['num_inliers']}")
+
+
+def test_mixed_size_real_photo_pair():
+    """Mixed-size stitching on REAL pixels: two different-sized crops of
+    the photograph through the default pipeline (per-image stages run on
+    each image's own static shape; true sizes travel as data)."""
+    from imagestitch_tpu import stitch_pair
+    from imagestitch_tpu.utils.io import photo_translation_pair
+
+    img1, img2, shift = photo_translation_pair()
+    img2c = np.ascontiguousarray(img2[:400, :280])   # smaller second view
+    pano, m = stitch_pair(img1, img2c)
+    assert m["h_valid"]
+    assert m["num_inliers"] > 30
+    # spans beyond either input
+    assert pano.shape[1] > img1.shape[1]
