@@ -369,7 +369,15 @@ def _host_seam_blend(warped, masks, cfg: PipelineConfig, edges=None,
         bb_d, colm_d, rowm_d = _overlap_bbox_device(masks[0], masks[1])
         bb, colm, rowm = jax.device_get((bb_d, colm_d, rowm_d))
         if bb[4]:
-            MARGIN = 256
+            # 64-px margin: the cut lives inside the overlap (crossing an
+            # exclusive region costs the 10000/pixel terminal cap), the
+            # Sobel support needs 1 px, and the side-ownership decision no
+            # longer depends on in-crop exclusive mass (it reads the
+            # full-canvas marginals above) — so the margin only has to
+            # anchor the bad-region penalties at the mask borders. Was
+            # 256 when _one_is_left used crop-local masks; the smaller
+            # crop cuts the tunnel readback another ~30%.
+            MARGIN = 64
             y0 = max(int(bb[0]) - MARGIN, 0)
             x0 = max(int(bb[1]) - MARGIN, 0)
             y1 = min(int(bb[2]) + MARGIN, Hc)
