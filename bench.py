@@ -260,7 +260,10 @@ def extras_bench(lat, extra, emit):
         extra[label] = round(ms, 2)
         _log(f"  {label}: {ms:.1f} ms")
         # phase breakdown from SEPARATE instrumented calls (the timings
-        # barriers would inflate the headline number by ~1 tunnel RTT)
+        # barriers would inflate the headline number by ~1 tunnel RTT);
+        # the first instrumented call compiles the barrier programs, so
+        # warm it into a throwaway dict before recording
+        once(timings={})
         split = {}
         for _ in range(2):
             once(timings=split)
