@@ -232,3 +232,22 @@ def test_mixed_size_real_photo_pair():
     assert m["num_inliers"] > 30
     # spans beyond either input
     assert pano.shape[1] > img1.shape[1]
+
+
+def test_real_photo_deterministic():
+    """Keyed-PRNG determinism on REAL data: the same seed stitches the
+    photo pair to bit-identical panos (the reference reseeds per pair for
+    the same reproducibility property, ref 特征点匹配.cpp:71-75)."""
+    from imagestitch_tpu import pipeline as pl
+    from imagestitch_tpu.config import PipelineConfig
+    from imagestitch_tpu.utils.io import photo_rotation_pair
+
+    img1, img2, _, _ = photo_rotation_pair()
+    a1 = jnp.asarray(img1, jnp.float32)
+    a2 = jnp.asarray(img2, jnp.float32)
+    outs = [pl.stitch_pair_core(a1, a2, jax.random.key(3),
+                                PipelineConfig()) for _ in range(2)]
+    p0, v0 = np.asarray(outs[0][0]), np.asarray(outs[0][1])
+    p1, v1 = np.asarray(outs[1][0]), np.asarray(outs[1][1])
+    assert np.array_equal(v0, v1)
+    assert np.array_equal(p0, p1)
