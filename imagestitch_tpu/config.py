@@ -188,12 +188,16 @@ class SeamConfig:
     # before tracing — pass an explicit orient for stacked batched pairs.
     orient: str = "auto"
     # on-device scan-DP resolution: the seam is found on a dp_scale-x
-    # mean-pooled cost window and upscaled (left cell edge). 2 is ~4x less
-    # scan work for a <= 2 px seam quantization that the 20x20 dilate +
-    # blend absorb — and still ~4x FINER than OpenCV stitching_detailed's
-    # own default seam resolution (seam_megapix=0.1 ~= 0.13x linear scale
-    # at 1080p). Set 1 for exact full-resolution scan seams.
-    dp_scale: int = 2
+    # mean-pooled cost window and upscaled (left cell edge). Measured at
+    # 2x1080p rotation (round 5, tools/profile_seam_blend.py + the
+    # dp_scale sweep): the seam stage costs 11.4 / 10.6 / 4.3 ms at
+    # scale 1 / 2 / 4, and the scale-2-vs-4 pano difference is mean
+    # 0.007 intensity (p99 = 0) — the 20x20 dilate + blend absorb the
+    # quantization entirely. 4 is still ~2x FINER than OpenCV
+    # stitching_detailed's own default seam resolution (seam_megapix=0.1
+    # ~= 0.13x linear scale at 1080p). Set 1 for exact full-resolution
+    # scan seams.
+    dp_scale: int = 4
     # full reference DpSeamFinder machinery (component labeling, conflict
     # resolution, seam tips, horizontal+vertical seams — ref 动态规划....cpp
     # :196-1093) on the host via native CCL, instead of the fast on-device
