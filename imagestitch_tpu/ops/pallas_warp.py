@@ -64,23 +64,7 @@ KGROUP = 8         # k-shift group size for runtime predication
 # covers the chunk's source extent
 
 # SMEM per-chunk scalar slots
-(_S_ANYOK, _S_ROT, _S_RMIN, _S_VSPREAD, _S_QSPREAD, _S_SY0, _S_SX0,
- _S_HSEL) = range(8)
-
-# Slab-DMA height rungs: the slab scratch holds SLAB_H rows, but a chunk
-# only consumes rows [0, rmin + vspread) — median ~22, p90 ~32 on 1080p
-# rotation scenes (tools/exp_warp_spread.py), so copying all 48 rows
-# reads ~2x the HBM bytes the chunk uses. Phase-ablation timing
-# (tools/exp_warp_phases.py) showed the slab DMA as the kernel's largest
-# EXPOSED cost (~8 of 14 ms; aggregate DMA ≈ aggregate compute per
-# super-tile, so it cannot hide behind compute): each chunk picks the
-# smallest rung covering rmin + vspread and both the copy and the
-# phase-2 roll run at that height. Measured same-process on the bench
-# rotation geometry (tools/ab_warp_dma_rungs.py, outputs bit-identical):
-# (48,) 13.6 ms → (24,32,48) 12.4 → (16,24,32,48) 11.5; the residual is
-# ~40% per-DMA fixed cost (~0.9 µs × ~3.7k chunk DMAs), ~60% bytes.
-# (SLAB_H,) reproduces the fixed-height kernel for A/B.
-DMA_RUNGS = (16, 24, 32, SLAB_H)
+_S_ANYOK, _S_ROT, _S_RMIN, _S_VSPREAD, _S_QSPREAD, _S_SY0, _S_SX0 = range(7)
 
 
 def _hat(t):
@@ -89,8 +73,7 @@ def _hat(t):
 
 def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
                  slabs_ref, tq_ref, lyv_ref, vmask_ref, acc_ref, scal_ref,
-                 slope_ref, sems, *, row_rebase=False, ablate="",
-                 dma_rungs=DMA_RUNGS):
+                 slope_ref, sems, *, row_rebase=False, ablate=""):
     """One (SUPER_H, SUPER_W) super-tile of image b.
 
     mat_ref: SMEM (N, 9) float32 — k_rinv (row-major) per image
@@ -133,10 +116,10 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
     pad_w = misc_ref[b, 11].astype(jnp.int32)
     C = src_ref.shape[1]
 
-    def chunk_dma(ch, sy0, sx0, h):
+    def chunk_dma(ch, sy0, sx0):
         return pltpu.make_async_copy(
-            src_ref.at[b, :, pl.ds(sy0, h), pl.ds(sx0, SLAB_W)],
-            slabs_ref.at[ch, :, pl.ds(0, h), :], sems.at[ch])
+            src_ref.at[b, :, pl.ds(sy0, SLAB_H), pl.ds(sx0, SLAB_W)],
+            slabs_ref.at[ch, :, pl.ds(0, SLAB_H), :], sems.at[ch])
 
     # ---- phase 1: per-chunk map evaluation + slab DMA launch -------------
     for ch in range(NCH):
@@ -279,14 +262,6 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
                 slope_ref[ch, 0] = 0.0
             lx = jnp.where(okq, lx, -10.0)
 
-            # smallest DMA rung covering the rows the chunk consumes
-            # (vspread is clipped to SLAB_H - rmin, so the last rung
-            # always covers)
-            need_h = rmin + vspread
-            hsel = jnp.int32(dma_rungs[-1])
-            for hr in reversed(dma_rungs[:-1]):
-                hsel = jnp.where(need_h <= hr, jnp.int32(hr), hsel)
-
             scal_ref[ch, _S_ANYOK] = any_ok.astype(jnp.int32)
             scal_ref[ch, _S_ROT] = jnp.mod(-qbase, SLAB_W)
             scal_ref[ch, _S_RMIN] = rmin
@@ -294,7 +269,6 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
             scal_ref[ch, _S_QSPREAD] = qspread
             scal_ref[ch, _S_SY0] = sy0
             scal_ref[ch, _S_SX0] = sx0
-            scal_ref[ch, _S_HSEL] = hsel
             tq_ref[ch] = lx - (qbase + jlane).astype(jnp.float32)
             lyv_ref[ch] = ly - rmin.astype(jnp.float32)
             # analytic validity: the vertical window always covers both
@@ -305,10 +279,9 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
             vmask_ref[ch] = okq.astype(jnp.float32)
 
             if ablate != "dma":     # experiment: slab-DMA cost
-                for hr in dma_rungs:
-                    @pl.when(any_ok & (hsel == hr))
-                    def _(hr=hr):
-                        chunk_dma(ch, sy0, sx0, hr).start()
+                @pl.when(any_ok)
+                def _():
+                    chunk_dma(ch, sy0, sx0).start()
 
     # ---- phase 2: accumulate each chunk (DMAs already in flight) --------
     for ch in range(NCH):
@@ -319,25 +292,20 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
         vspread = scal_ref[ch, _S_VSPREAD]
         qspread = scal_ref[ch, _S_QSPREAD]
 
-        hsel = scal_ref[ch, _S_HSEL]
-        for hr in dma_rungs:
-            @pl.when(any_ok & (hsel == hr))
-            def _(ch=ch, hr=hr):
-                # re-assert DMA-origin alignment (lost via the SMEM
-                # round-trip)
-                if ablate != "dma":
-                    chunk_dma(ch,
-                              pl.multiple_of(scal_ref[ch, _S_SY0], 8),
-                              pl.multiple_of(scal_ref[ch, _S_SX0], 128),
-                              hr).wait()
-                # one slab roll per channel at the chunk's rung height
-                # (the round-1 kernel rolled every row separately:
-                # vspread × C dynamic rolls per chunk)
-                if ablate != "roll":    # experiment: dynamic-roll cost
-                    for c in range(C):
-                        slabs_ref[ch, c, pl.ds(0, hr), :] = pltpu.roll(
-                            slabs_ref[ch, c, pl.ds(0, hr), :], rot,
-                            axis=1)
+        @pl.when(any_ok)
+        def _(ch=ch):
+            # re-assert DMA-origin alignment (lost via the SMEM round-trip)
+            if ablate != "dma":
+                chunk_dma(ch,
+                          pl.multiple_of(scal_ref[ch, _S_SY0], 8),
+                          pl.multiple_of(scal_ref[ch, _S_SX0], 128)).wait()
+            # one whole-slab roll per channel (the round-1 kernel rolled
+            # every row separately: vspread × C dynamic rolls per chunk)
+            if ablate != "roll":    # experiment: dynamic-roll cost
+                for c in range(C):
+                    slabs_ref[ch, c, pl.ds(0, SLAB_H), :] = pltpu.roll(
+                        slabs_ref[ch, c, pl.ds(0, SLAB_H), :], rot,
+                        axis=1)
 
         t = tq_ref[ch][...]
         lyv = lyv_ref[ch][...]
@@ -355,19 +323,29 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
         # is accumulated and no normalizing divide runs (hat weights of
         # valid pixels sum to exactly 1 by construction).
         def run_span(nk, rb, ch=ch, rmin=rmin, vspread=vspread,
-                     t=t, lyv=lyv, hsel=hsel):
+                     t=t, lyv=lyv):
+            # hat(t - k) does not depend on the slab row a tap reads
+            # from (lx is row-invariant), so the nk horizontal weight
+            # planes are computed ONCE per chunk, outside the row loop
+            # — captured by the fori_loop body as loop constants.
+            # (Device-time neutral — Mosaic already hoisted the
+            # invariant hat; kept because it states the invariance
+            # explicitly. See tools/ab_warp_accum.py for the round-5
+            # variant study.) Under row_rebase the hat argument shifts
+            # per row and must stay inside.
+            whs = None if row_rebase else [_hat(t - k) for k in range(nk)]
+
             def vbody(it, carry):
                 accs = list(carry)
                 # rows past vspread contribute exactly zero: lyv max is
                 # < vspread, so hat(lyv - dr) vanishes for dr >= vspread
                 # and the last block may overshoot vspread freely. A row
-                # index past the chunk's DMA rung is clamped to the last
-                # copied row (this only happens for dr >= vspread, whose
-                # weight is already zero — the clamp keeps the load on
-                # real DMA'd data, never uninitialized scratch).
+                # index past the slab end is clamped (this only happens
+                # for dr >= vspread, whose weight is already zero — the
+                # clamp just keeps the load in bounds).
                 for rr in range(rb):
                     dr = it * rb + rr
-                    r = jnp.minimum(rmin + dr, hsel - 1)
+                    r = jnp.minimum(rmin + dr, SLAB_H - 1)
                     wv = _hat(lyv - dr.astype(jnp.float32))
                     rows = [slabs_ref[ch, c, pl.ds(r, 1), :]
                             for c in range(C)]
@@ -385,9 +363,14 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
                     hc = [jnp.zeros((CHUNK_H, CHUNK_W), jnp.float32)
                           for _ in range(C)]
                     for k in range(nk):
-                        wh = _hat(tk - k)
+                        wh = _hat(tk - k) if row_rebase else whs[k]
                         for c in range(C):
-                            hc[c] = hc[c] + wh * rows[c][:, k:k + CHUNK_W]
+                            # "noshift": scaling probe — drop the per-k
+                            # lane shift (garbage output, timing valid)
+                            sl = (rows[c][:, 0:CHUNK_W]
+                                  if ablate == "noshift"
+                                  else rows[c][:, k:k + CHUNK_W])
+                            hc[c] = hc[c] + wh * sl
                     for c in range(C):
                         accs[c] = accs[c] + wv * hc[c]
                 return tuple(accs)
@@ -408,15 +391,25 @@ def _warp_kernel(mat_ref, misc_ref, src_ref, out_ref, valid_ref,
         # residual window is the within-row spread only), so offer a 4-rung
         rungs = ([4] if row_rebase else []) + [8, 12, 16, 20, 24, 32, QSPAN]
         lo = 0
-        if ablate != "accum":       # experiment: accumulation-loop cost
-            for nk in rungs:
-                rb = 4 if nk <= 20 else 2
+        if ablate == "accum":       # experiment: accumulation-loop cost
+            rungs = []
+        if ablate in ("k8", "k16"):
+            # scaling probe: every live chunk runs a FIXED nk window
+            # (wrong output for chunks needing more; timing valid)
+            @pl.when(qspread > 0)
+            def _():
+                run_span(8 if ablate == "k8" else 16, 4)
+            rungs = []
+        for nk in rungs:
+            # "rb2"/"rb8": row-block scaling probes (outputs still exact)
+            rb = {"rb2": 2, "rb8": 8}.get(
+                ablate, 4 if nk <= 20 else 2)
 
-                @pl.when((qspread > lo) & (qspread <= nk))
-                def _(nk=nk, rb=rb):
-                    run_span(nk, rb)
+            @pl.when((qspread > lo) & (qspread <= nk))
+            def _(nk=nk, rb=rb):
+                run_span(nk, rb)
 
-                lo = nk
+            lo = nk
 
         valid = vmask_ref[ch][...] > 0.5
         ys0, ys1 = sr * CHUNK_H, (sr + 1) * CHUNK_H
@@ -436,8 +429,7 @@ def pallas_warp_batched(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
                         kind: str = "cylindrical",
                         interpret: bool = False,
                         row_rebase: bool = False,
-                        src_sizes=None, ablate: str = "",
-                        dma_rungs: tuple = DMA_RUNGS):
+                        src_sizes=None, ablate: str = ""):
     """Warp (N, H, W, C) imgs into N (Hc, Wc) canvases in ONE kernel launch.
 
     k_rinvs: (N, 3, 3) K·R⁻¹ backward projections; corners: (N, 2) (x, y)
@@ -467,19 +459,17 @@ def pallas_warp_batched(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
     """
     return _warp_batched_jit(imgs, k_rinvs, scale, corners, roi_uvs,
                              np.float32(KIND_IDS[kind]), canvas_hw,
-                             interpret, row_rebase, src_sizes, ablate,
-                             dma_rungs)
+                             interpret, row_rebase, src_sizes, ablate)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("canvas_hw", "interpret", "row_rebase",
-                                    "ablate", "dma_rungs"))
+                                    "ablate"))
 def _warp_batched_jit(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
                       corners: jnp.ndarray, roi_uvs: jnp.ndarray,
                       kind_id, canvas_hw: tuple[int, int],
                       interpret: bool = False, row_rebase: bool = False,
-                      src_sizes=None, ablate: str = "",
-                      dma_rungs: tuple = DMA_RUNGS):
+                      src_sizes=None, ablate: str = ""):
     N, H, W = imgs.shape[:3]
     Hc, Wc = canvas_hw
     C = imgs.shape[3] if imgs.ndim == 4 else 1
@@ -524,7 +514,7 @@ def _warp_batched_jit(imgs: jnp.ndarray, k_rinvs: jnp.ndarray, scale,
         n = mats.shape[0]
         return tuple(pl.pallas_call(
             functools.partial(_warp_kernel, row_rebase=row_rebase,
-                              ablate=ablate, dma_rungs=dma_rungs),
+                              ablate=ablate),
             grid=(n,) + grid[1:],
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -12,10 +12,21 @@ and the delta vs the full kernel attributes that phase:
   dead            every chunk fails the liveness test: grid + per-chunk
                   skeleton (SMEM zeroing, scalar reads) only
 
+plus scaling probes: "noshift" (accumulation without the per-k lane
+window slice), "k8"/"k16" (fixed shift-window size for every chunk),
+"rb2"/"rb8" (row-block size).
+
 Geometry = bench.py warp_variants (2x1080p rotation scene, cylindrical,
-1480x3456 canvas). Timing = median wall of a scalar-readback call with
-tunnel RTT subtracted (single process, same methodology as the other
-profilers; see tools/README.md).
+1480x3456 canvas). Wall medians AND per-call device time from
+jax.profiler traces are printed; the device column is the decision
+basis (wall through the tunnel mis-attributed this kernel's phases by
+8 ms in round 5 — the attribution below is from the device column).
+
+Round-5 device-time findings at this geometry (kernel total 16.5 ms):
+accumulation rungs 13.4 / map eval ~2.3 / skeleton 0.8 / rolls 0.7 /
+slab DMA 0.14. Inside the accumulation, the per-k lane-window slice is
+~11.5 ms ("noshift") and cost is linear in the rung size at ~0.68 ms
+per shift ("k8" vs "k16"); the FMA arithmetic itself is ~2 ms.
 
 Run:  PYTHONPATH=/root/repo:$PYTHONPATH python tools/exp_warp_phases.py
 """
@@ -28,6 +39,8 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from ab_warp_accum import device_ms
 
 
 def median_ms(fn, lat, reps=9):
@@ -75,7 +88,8 @@ def main():
           f"backend={jax.default_backend()}", file=sys.stderr)
 
     res = {}
-    for ab in ("", "accum", "roll", "dma", "dead"):
+    for ab in ("", "accum", "roll", "dma", "dead",
+               "noshift", "k8", "k16", "rb2", "rb8"):
         def one(ab=ab):
             o, v = pallas_warp_batched(imgs, k_rinvs, f, corners, roi_uvs,
                                        canvas, "cylindrical", ablate=ab)
@@ -84,9 +98,10 @@ def main():
         one()
         compile_s = time.perf_counter() - t0
         ms = median_ms(one, lat)
-        res[ab or "full"] = ms
-        print(f"  ablate={ab or 'full':>6}: {ms:7.2f} ms "
-              f"(compile {compile_s:.1f}s)")
+        dms = device_ms(one, f"ab_{ab or 'full'}")
+        res[ab or "full"] = dms
+        print(f"  ablate={ab or 'full':>6}: wall {ms:7.2f} ms  "
+              f"device {dms:7.2f} ms (compile {compile_s:.1f}s)")
 
     full = res["full"]
     print("phase attribution (delta vs full):")
